@@ -1,0 +1,141 @@
+"""Radix-2 NTT / iNTT over prime-field evaluation domains.
+
+TPU-native replacement for crypto3-math's `evaluation_domain::fft/inverse_fft`
+(driven from `r1cs_to_qap.hpp:229-310` and `polynomial_dfs::resize` throughout
+the Placeholder prover — SURVEY.md §2.0). Decimation-in-time with a host-side
+stage loop: each stage is ONE batched Montgomery multiply of N/2 lanes plus a
+modular add/sub — straight-line vector code XLA fuses per stage. Twiddle
+tables are built on device by repeated squaring (`limbs.powers`).
+
+The distributed (multi-chip) variant lives in `parallel/ntt.py`; this module
+is the single-chip core it calls per shard.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.params import FieldSpec
+from . import limbs as L
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+class NTTPlan:
+    """Cached per-(field, size) twiddle tables + compiled transform."""
+
+    def __init__(self, fs: FieldSpec, log_n: int):
+        self.fs = fs
+        self.log_n = log_n
+        self.n = 1 << log_n
+        self.omega = fs.root_of_unity(self.n)
+        self.omega_inv = pow(self.omega, -1, fs.p)
+        self.n_inv = pow(self.n, -1, fs.p)
+        self.bitrev = jnp.asarray(_bitrev_perm(log_n))
+        # full twiddle tables w^j, j < n/2 (Montgomery form), fwd and inv
+        half = max(self.n // 2, 1)
+        self.tw_fwd = L.powers(fs, self.omega, half)
+        self.tw_inv = L.powers(fs, self.omega_inv, half)
+
+    def __hash__(self):
+        return hash((self.fs, self.log_n))
+
+    def __eq__(self, o):
+        return isinstance(o, NTTPlan) and (self.fs, self.log_n) == (o.fs, o.log_n)
+
+
+@functools.lru_cache(maxsize=None)
+def get_plan(fs: FieldSpec, log_n: int) -> NTTPlan:
+    return NTTPlan(fs, log_n)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _ntt_core(fs: FieldSpec, x: jnp.ndarray, tw: jnp.ndarray,
+              log_n: int) -> jnp.ndarray:
+    """x: (NL, ..., N) with transform along the LAST axis; tw: (NL, N//2)."""
+    n = 1 << log_n
+    batch = x.shape[1:-1]
+    x = x[..., jnp.asarray(_bitrev_perm(log_n))]
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        xr = x.reshape(x.shape[:1] + batch + (n // m, m))
+        even = xr[..., : m // 2]
+        odd = xr[..., m // 2:]
+        # stage twiddles: w_m^j = w_n^(j * n/m)  -> stride view of full table
+        stw = tw[..., :: n // m]  # (NL, m//2)
+        stw = stw.reshape(stw.shape[:1] + (1,) * (len(batch) + 1) + (m // 2,))
+        t = L.mont_mul(fs, odd, stw)
+        x = jnp.concatenate([L.add(fs, even, t), L.sub(fs, even, t)],
+                            axis=-1).reshape(x.shape[:1] + batch + (n,))
+    return x
+
+
+def ntt(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Forward: coefficients -> evaluations on the radix-2 domain (natural
+    order: index i holds f(w^i)). Inverse: evaluations -> coefficients.
+    Transform along the last axis; leading axis is limbs."""
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n, "NTT size must be a power of two"
+    if n == 1:
+        return x
+    plan = get_plan(fs, log_n)
+    if not inverse:
+        return _ntt_core(fs, x, plan.tw_fwd, log_n)
+    y = _ntt_core(fs, x, plan.tw_inv, log_n)
+    return L.mont_mul(fs, y, L.const_mont(fs, plan.n_inv,
+                                          (1,) * (y.ndim - 1)))
+
+
+def coset_scale(fs: FieldSpec, coeffs: jnp.ndarray, g: int,
+                inverse: bool = False) -> jnp.ndarray:
+    """Multiply coefficient i by g^i (or g^-i): maps evals on D to evals on
+    g*D. Reference: `math::multiply_by_coset` (used `r1cs_to_qap.hpp:266-315`)."""
+    n = coeffs.shape[-1]
+    gg = pow(g, -1, fs.p) if inverse else (g % fs.p)
+    pw = L.powers(fs, gg, n)
+    pw = pw.reshape(pw.shape[:1] + (1,) * (coeffs.ndim - 2) + (n,))
+    return L.mont_mul(fs, coeffs, pw)
+
+
+def coset_ntt(fs: FieldSpec, coeffs: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Evaluate on the coset g*D (for quotient computation where Z(g w^i) is
+    a nonzero constant — replaces `divide_by_z_on_coset`'s domain trick)."""
+    return ntt(fs, coset_scale(fs, coeffs, g), inverse=False)
+
+
+def coset_intt(fs: FieldSpec, evals: jnp.ndarray, g: int) -> jnp.ndarray:
+    return coset_scale(fs, ntt(fs, evals, inverse=True), g, inverse=True)
+
+
+def sum_reduce(fs: FieldSpec, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Modular sum along an axis via log-depth halving."""
+    if axis < 0:
+        axis = x.ndim + axis
+    n = x.shape[axis]
+    # pad to power of two with zeros
+    m = 1 << (n - 1).bit_length() if n > 1 else 1
+    if m != n:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, m - n)
+        x = jnp.pad(x, pad)
+    while m > 1:
+        half = m // 2
+        idx_lo = [slice(None)] * x.ndim
+        idx_hi = [slice(None)] * x.ndim
+        idx_lo[axis] = slice(0, half)
+        idx_hi[axis] = slice(half, m)
+        x = L.add(fs, x[tuple(idx_lo)], x[tuple(idx_hi)])
+        m = half
+    return jnp.squeeze(x, axis=axis)
