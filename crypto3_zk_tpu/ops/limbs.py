@@ -37,27 +37,22 @@ U32 = jnp.uint32
 # ---------------------------------------------------------------------------
 
 def pack_ints(fs: FieldSpec, xs: Sequence[int]) -> np.ndarray:
-    """Python ints -> (NL, n) uint32 limb array (NOT Montgomery-encoded)."""
-    xs = list(xs)
-    out = np.zeros((fs.nl, len(xs)), dtype=np.uint32)
-    for i, x in enumerate(xs):
-        x = x % fs.p
-        for j in range(fs.nl):
-            out[j, i] = (x >> (W * j)) & MASK
-    return out
+    """Python ints -> (NL, n) uint32 limb array (NOT Montgomery-encoded).
+    Vectorized via fixed-width big-endian byte serialization."""
+    xs = [x % fs.p for x in xs]
+    nb = fs.nl * 2  # bytes per element
+    buf = b"".join(x.to_bytes(nb, "little") for x in xs)
+    a = np.frombuffer(buf, dtype="<u2").reshape(len(xs), fs.nl)
+    return np.ascontiguousarray(a.T).astype(np.uint32)
 
 
 def unpack_ints(fs: FieldSpec, arr) -> list[int]:
     """(NL, *batch) uint32 -> flat list of python ints (row-major batch)."""
-    a = np.asarray(arr, dtype=np.uint64).reshape(fs.nl, -1)
-    shifts = (np.arange(fs.nl, dtype=np.uint64) * W)
-    out = []
-    for i in range(a.shape[1]):
-        x = 0
-        for j in range(fs.nl):
-            x |= int(a[j, i]) << (W * j)
-        out.append(x)
-    return out
+    a = np.asarray(arr).reshape(fs.nl, -1).astype(np.uint16).T  # (n, NL)
+    data = np.ascontiguousarray(a).tobytes()  # little-endian u16 limbs
+    nb = fs.nl * 2
+    return [int.from_bytes(data[i * nb:(i + 1) * nb], "little")
+            for i in range(a.shape[0])]
 
 
 def encode(fs: FieldSpec, xs: Sequence[int]) -> jnp.ndarray:
@@ -180,40 +175,56 @@ def select(mask, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=0)
 def mont_mul(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(aR)(bR)R^{-1} = abR mod p. Shapes broadcast over batch dims."""
-    nl = fs.nl
-    pl = [U32(int(x)) for x in fs.p_limbs]
-    ninv = U32(fs.ninv16)
-    al, bl = _split(a), _split(b)
+    """(aR)(bR)R^{-1} = abR mod p. Shapes broadcast over batch dims.
 
-    zero = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=U32)
-    t = [zero] * nl
-    t_n = zero
-    t_n1 = zero
+    Tensorized lazy-carry CIOS: the schoolbook product accumulates 16-bit
+    lo/hi halves into 2NL+1 columns WITHOUT carry propagation (column sums
+    stay < 4·NL·2^16 « 2^32), the NL Montgomery reduction steps each add
+    m·p lazily and shift one column down (only column 0's carry is resolved,
+    because m depends on it), and a single full carry sweep runs at the end.
+    ~8x fewer XLA ops than digit-serial CIOS and every op is a full-width
+    vector op over (NL, *batch)."""
+    nl = fs.nl
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (nl,) + bshape).astype(U32)
+    b = jnp.broadcast_to(b, (nl,) + bshape).astype(U32)
+    pad_batch = [(0, 0)] * len(bshape)
+
+    # --- 1) schoolbook product with lazy carries: t has 2NL+1 columns ---
+    width = 2 * nl + 1
+    t = jnp.zeros((width,) + bshape, dtype=U32)
     for i in range(nl):
-        bi = bl[i]
-        c = jnp.uint32(0)
-        for j in range(nl):
-            u = t[j] + al[j] * bi + c
-            t[j] = u & MASK
-            c = u >> W
-        u = t_n + c
-        t_n = u & MASK
-        t_n1 = t_n1 + (u >> W)
-        # reduction step
-        m = (t[0] * ninv) & MASK
-        u = t[0] + m * pl[0]
-        c = u >> W
-        for j in range(1, nl):
-            u = t[j] + m * pl[j] + c
-            t[j - 1] = u & MASK
-            c = u >> W
-        u = t_n + c
-        t[nl - 1] = u & MASK
-        c = u >> W
-        t_n = t_n1 + c
-        t_n1 = jnp.zeros_like(t_n1)
-    return _join(_cond_sub_p(fs, t, t_n))
+        prod = a[i][None] * b                      # (NL, *batch)
+        lo = prod & MASK
+        hi = prod >> W
+        t = t + jnp.pad(lo, [(i, width - i - nl)] + pad_batch) \
+              + jnp.pad(hi, [(i + 1, width - i - 1 - nl)] + pad_batch)
+
+    # --- 2) NL Montgomery reduction steps (shift one column per step) ---
+    ninv = U32(fs.ninv16)
+    pl = jnp.asarray(fs.p_limbs, dtype=np.uint32).reshape(
+        (nl,) + (1,) * len(bshape))
+    for _ in range(nl):
+        m = (t[0] * ninv) & MASK                   # (*batch)
+        mp = m[None] * pl                          # (NL, *batch)
+        lo = mp & MASK
+        hi = mp >> W
+        carry0 = (t[0] + lo[0]) >> W
+        rest = t[1:]                               # (2NL, *batch) columns 1..
+        rest = rest + jnp.pad(lo[1:], [(0, nl + 1)] + pad_batch) \
+                    + jnp.pad(hi, [(0, nl)] + pad_batch)
+        rest = jnp.concatenate([(rest[0] + carry0)[None], rest[1:]], axis=0)
+        t = jnp.pad(rest, [(0, 1)] + pad_batch)
+
+    # --- 3) full carry sweep over NL+1 columns ---
+    digits = []
+    c = jnp.uint32(0)
+    for j in range(nl):
+        v = t[j] + c
+        digits.append(v & MASK)
+        c = v >> W
+    top = t[nl] + c
+    return _join(_cond_sub_p(fs, digits, top))
 
 
 def mont_sqr(fs: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -334,11 +345,21 @@ def _prefix_products(fs: FieldSpec, x: jnp.ndarray, axis: int,
     return acc
 
 
+_HOST_POWERS_MAX = 1 << 13
+
+
 def powers(fs: FieldSpec, base_int: int, n: int) -> jnp.ndarray:
-    """Device array [1, w, w^2, ..., w^(n-1)] in Montgomery form, built by
-    doubling (log n mont_muls, total n multiplies)."""
-    cur = ones_mont(fs, (1,))
+    """Device array [1, w, w^2, ..., w^(n-1)] in Montgomery form. Small
+    tables are computed host-side (cheap, avoids log-n odd-shaped compiles);
+    large ones extend by device doubling (log n mont_muls total)."""
     w = base_int % fs.p
+    m = min(n, _HOST_POWERS_MAX)
+    vals = []
+    acc = fs.R_mod_p  # mont(1)
+    for _ in range(m):
+        vals.append(acc)
+        acc = acc * w % fs.p
+    cur = jnp.asarray(pack_ints(fs, vals))
     while cur.shape[1] < n:
         k = cur.shape[1]
         wk = const_mont(fs, pow(w, k, fs.p), (1,))

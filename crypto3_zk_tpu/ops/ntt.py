@@ -60,24 +60,41 @@ def get_plan(fs: FieldSpec, log_n: int) -> NTTPlan:
     return NTTPlan(fs, log_n)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=0)
+def _ntt_stage(fs: FieldSpec, even: jnp.ndarray, odd: jnp.ndarray,
+               stw: jnp.ndarray):
+    """One radix-2 DIT butterfly layer on flattened (NL, ..., N/2) halves.
+    Compiled ONCE per (field, total size) and reused by every stage of every
+    transform of that size."""
+    t = L.mont_mul(fs, odd, stw)
+    return L.add(fs, even, t), L.sub(fs, even, t)
+
+
 def _ntt_core(fs: FieldSpec, x: jnp.ndarray, tw: jnp.ndarray,
               log_n: int) -> jnp.ndarray:
-    """x: (NL, ..., N) with transform along the LAST axis; tw: (NL, N//2)."""
+    """x: (NL, ..., N) with transform along the LAST axis; tw: (NL, N//2).
+
+    Host-driven stage loop: the heavy butterfly math is one shared jitted
+    kernel of constant shape (NL, ..., N/2); the cheap reshapes/gathers stay
+    eager, so compile cost is O(1) stages instead of O(log N)."""
     n = 1 << log_n
-    batch = x.shape[1:-1]
+    lead = x.shape[:-1]          # (NL, *batch)
+    half_shape = lead + (n // 2,)
     x = x[..., jnp.asarray(_bitrev_perm(log_n))]
     for s in range(1, log_n + 1):
         m = 1 << s
-        xr = x.reshape(x.shape[:1] + batch + (n // m, m))
-        even = xr[..., : m // 2]
-        odd = xr[..., m // 2:]
-        # stage twiddles: w_m^j = w_n^(j * n/m)  -> stride view of full table
+        xr = x.reshape(lead + (n // m, m))
+        even = xr[..., : m // 2].reshape(half_shape)
+        odd = xr[..., m // 2:].reshape(half_shape)
+        # stage twiddles: w_m^j = w_n^(j * n/m) -> strided view, broadcast
         stw = tw[..., :: n // m]  # (NL, m//2)
-        stw = stw.reshape(stw.shape[:1] + (1,) * (len(batch) + 1) + (m // 2,))
-        t = L.mont_mul(fs, odd, stw)
-        x = jnp.concatenate([L.add(fs, even, t), L.sub(fs, even, t)],
-                            axis=-1).reshape(x.shape[:1] + batch + (n,))
+        stw = jnp.broadcast_to(
+            stw.reshape((stw.shape[0],) + (1,) * (len(lead) - 1) + (1, m // 2)),
+            lead + (n // m, m // 2)).reshape(half_shape)
+        lo, hi = _ntt_stage(fs, even, odd, stw)
+        x = jnp.concatenate(
+            [lo.reshape(lead + (n // m, m // 2)),
+             hi.reshape(lead + (n // m, m // 2))], axis=-1).reshape(lead + (n,))
     return x
 
 

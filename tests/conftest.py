@@ -1,15 +1,20 @@
-"""Test harness config: force an 8-device virtual CPU mesh (multi-chip
-sharding tests run on CPU; real-TPU benchmarking happens in bench.py)."""
+"""Test harness config: force the CPU backend with an 8-device virtual mesh.
+
+IMPORTANT: sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS=axon (single real TPU through a tunnel), so mutating
+os.environ here is too late/unreliable — jax.config.update is the only
+dependable override. Real-TPU benchmarking happens in bench.py only.
+"""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # env presets 'axon' (real TPU); tests run on the virtual CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+import jax  # noqa: E402  (already imported by sitecustomize anyway)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_compilation_cache_dir", "/tmp/zk_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
