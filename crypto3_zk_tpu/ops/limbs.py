@@ -320,6 +320,21 @@ def _slice_axis(x, axis, lo, hi):
     return x[tuple(idx)]
 
 
+def prefix_product_exclusive(fs: FieldSpec, x: jnp.ndarray,
+                             axis: int = -1) -> jnp.ndarray:
+    """[1, x0, x0x1, ...] — the grand-product ladder V_P/V_L of the
+    Placeholder arguments (`permutation_argument.hpp:123-133`) as a
+    log-depth scan instead of the reference's sequential loop."""
+    if axis < 0:
+        axis = x.ndim + axis
+    n = x.shape[axis]
+    incl = _prefix_products(fs, x, axis, reverse=False)
+    one = ones_mont(fs, x.shape[1:])
+    return jnp.concatenate(
+        [jnp.take(one, jnp.array([0]), axis=axis),
+         _slice_axis(incl, axis, 0, n - 1)], axis=axis)
+
+
 def _prefix_products(fs: FieldSpec, x: jnp.ndarray, axis: int,
                      reverse: bool) -> jnp.ndarray:
     """Inclusive prefix (or suffix) products via Hillis–Steele doubling:

@@ -136,6 +136,29 @@ def coset_intt(fs: FieldSpec, evals: jnp.ndarray, g: int) -> jnp.ndarray:
     return coset_scale(fs, ntt(fs, evals, inverse=True), g, inverse=True)
 
 
+def divide_by_vanishing(fs: FieldSpec, coeffs: jnp.ndarray,
+                        n_rows: int) -> jnp.ndarray:
+    """T = F / (x^n - 1) for F known divisible by the vanishing polynomial.
+
+    TPU-friendly replacement for the reference's coefficient-form long
+    division (`prover.hpp:275-283` F_consolidated / Z): evaluate F on the
+    coset g*D_m (where Z never vanishes), divide pointwise with one batched
+    inverse, and transform back. coeffs: (NL, m) with m > n_rows a power of
+    two; returns (NL, m) coefficients of T (top n_rows coeffs zero)."""
+    m = coeffs.shape[-1]
+    assert m > n_rows and m & (m - 1) == 0
+    g = fs.generator
+    ev = coset_ntt(fs, coeffs, g)
+    plan = get_plan(fs, m.bit_length() - 1)
+    # Z(g w^i) = g^n w^(i n) - 1
+    wn = pow(plan.omega, n_rows, fs.p)
+    zv = L.mont_mul(fs, L.powers(fs, wn, m),
+                    L.const_mont(fs, pow(g, n_rows, fs.p), (1,)))
+    zv = L.sub(fs, zv, L.ones_mont(fs, (m,)))
+    t_ev = L.mont_mul(fs, ev, L.batch_inverse(fs, zv, axis=1))
+    return coset_intt(fs, t_ev, g)
+
+
 def sum_reduce(fs: FieldSpec, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Modular sum along an axis via log-depth halving."""
     if axis < 0:

@@ -210,10 +210,16 @@ class PolyDFS:
         return PolyDFS(self.fs, L.mont_mul(
             self.fs, self.v, L.const_mont(self.fs, k, (1,))), self.deg)
 
-    def shift(self, rotation: int) -> "PolyDFS":
-        """g(x) = f(x * w^rotation): evals roll by -rotation
-        (`math::polynomial_shift`, used `gates_argument.hpp:117`)."""
-        return PolyDFS(self.fs, jnp.roll(self.v, -rotation, axis=-1), self.deg)
+    def shift(self, rotation: int, domain_size: int | None = None) -> "PolyDFS":
+        """g(x) = f(x * w_m^rotation) where m = domain_size (default: own
+        size): evals roll by -rotation * (n/m)
+        (`math::polynomial_shift(f, rot, m)`, used `gates_argument.hpp:117`,
+        `lookup_argument.hpp:328` — the reference shifts by the BASIC
+        domain's generator even for polys resident on larger domains)."""
+        m = self.n if domain_size is None else domain_size
+        assert self.n % m == 0
+        step = rotation * (self.n // m)
+        return PolyDFS(self.fs, jnp.roll(self.v, -step, axis=-1), self.deg)
 
     def evaluate(self, x: int) -> int:
         return self.coefficients().evaluate(x)

@@ -1,0 +1,111 @@
+"""Placeholder end-to-end: preprocess -> prove -> verify.
+
+Mirrors the templated runner of `test/systems/plonk/placeholder/
+placeholder.cpp:195-266` (LPC flavor) on the re-expressed circuit fixtures.
+"""
+import random
+
+import pytest
+
+from crypto3_zk_tpu.fields import params as P
+from crypto3_zk_tpu.commitments import fri as FRI
+from crypto3_zk_tpu.commitments.lpc import LPCScheme
+from crypto3_zk_tpu.models.placeholder import common as C
+from crypto3_zk_tpu.models.placeholder import preprocessor as PP
+from crypto3_zk_tpu.models.placeholder.prover import prove
+from crypto3_zk_tpu.models.placeholder.verifier import verify
+
+from circuits import circuit_1, circuit_lookup, circuit_t
+
+FS = P.BLS12_381_FR
+
+
+def _run(circuit_fn, seed=0xAB, max_quotient_chunks=0, tamper=None):
+    rng = random.Random(seed)
+    cs, assignment, desc, public_input = circuit_fn(FS, rng)
+
+    params = C.PlaceholderParams(FS, transcript_hash="keccak_256",
+                                 max_quotient_chunks=max_quotient_chunks)
+    degree_log = desc.rows_amount.bit_length() - 1
+    fri_params = FRI.FRIParams.build(FS, degree_log=degree_log,
+                                     expand_factor=2, lambda_=4,
+                                     merkle_hash="poseidon")
+    scheme = LPCScheme(fri_params)
+
+    pub = PP.process_public(params, cs, assignment, desc, scheme,
+                            max_quotient_poly_chunks=max_quotient_chunks)
+    priv = PP.process_private(params, cs, assignment, desc)
+
+    if tamper == "witness":
+        import crypto3_zk_tpu.ops.limbs as L
+        bad = L.encode(FS, [rng.randrange(FS.p)
+                            for _ in range(desc.rows_amount)])
+        from crypto3_zk_tpu.poly.polynomial import PolyDFS
+        priv.witnesses[2] = PolyDFS(FS, bad, desc.rows_amount)
+
+    proof = prove(params, pub, priv, desc, cs, scheme)
+
+    vscheme = LPCScheme(fri_params)
+    ok = verify(params, pub.common_data, proof, desc, cs, vscheme,
+                public_input=public_input)
+    return ok, proof, pub
+
+
+def test_placeholder_circuit1_roundtrip():
+    ok, proof, pub = _run(circuit_1)
+    assert ok
+
+
+def test_placeholder_circuit_t_rotations():
+    ok, proof, pub = _run(circuit_t)
+    assert ok
+
+
+def test_placeholder_lookup_roundtrip():
+    ok, proof, pub = _run(circuit_lookup)
+    assert ok
+
+
+def test_placeholder_lookup_rejects_tampered_proof():
+    """Mirror of the reference's mutated-proof negative paths
+    (`placeholder.cpp:788-927`): corrupt a LOOKUP_BATCH opened value."""
+    rng = random.Random(0xAB)
+    cs, assignment, desc, public_input = circuit_lookup(FS, rng)
+    params = C.PlaceholderParams(FS)
+    degree_log = desc.rows_amount.bit_length() - 1
+    fri_params = FRI.FRIParams.build(FS, degree_log=degree_log,
+                                     expand_factor=2, lambda_=4,
+                                     merkle_hash="poseidon")
+    scheme = LPCScheme(fri_params)
+    pub = PP.process_public(params, cs, assignment, desc, scheme)
+    priv = PP.process_private(params, cs, assignment, desc)
+    proof = prove(params, pub, priv, desc, cs, scheme)
+    z = proof.eval_proof.eval_proof.z
+    from crypto3_zk_tpu.models.placeholder.common import LOOKUP_BATCH
+    z.z[LOOKUP_BATCH][0][0] = (z.z[LOOKUP_BATCH][0][0] + 1) % FS.p
+    vscheme = LPCScheme(fri_params)
+    assert not verify(params, pub.common_data, proof, desc, cs, vscheme,
+                      public_input=public_input)
+
+
+def test_placeholder_rejects_bad_witness():
+    ok, _, _ = _run(circuit_1, tamper="witness")
+    assert not ok
+
+
+def test_placeholder_rejects_wrong_public_input():
+    rng = random.Random(0xAB)
+    cs, assignment, desc, public_input = circuit_1(FS, rng)
+    params = C.PlaceholderParams(FS)
+    degree_log = desc.rows_amount.bit_length() - 1
+    fri_params = FRI.FRIParams.build(FS, degree_log=degree_log,
+                                     expand_factor=2, lambda_=4,
+                                     merkle_hash="poseidon")
+    scheme = LPCScheme(fri_params)
+    pub = PP.process_public(params, cs, assignment, desc, scheme)
+    priv = PP.process_private(params, cs, assignment, desc)
+    proof = prove(params, pub, priv, desc, cs, scheme)
+    vscheme = LPCScheme(fri_params)
+    bad_public = [[(public_input[0][0] + 1) % FS.p]]
+    assert not verify(params, pub.common_data, proof, desc, cs, vscheme,
+                      public_input=bad_public)
