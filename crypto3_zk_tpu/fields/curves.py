@@ -1,0 +1,314 @@
+"""Elliptic curve specs, host-side group arithmetic, and pairings.
+
+Role split per SURVEY.md §2.0: host scalar group ops + Miller loop / final
+exponentiation serve verifiers and key generation
+(`verifier.hpp (gg):168-183`, `kzg.hpp:195-206`); the batched device point
+kernels live in `ops/curve.py` / `ops/msm.py`.
+
+Pairing: Tate pairing with denominator elimination, computed uniformly for
+both curves — the Miller loop runs over the r-bits with P in G1(Fq), lines
+evaluated at the untwisted Q in Fq12 (untwist: D-twist (x w^2, y w^3),
+M-twist (x w^-2, y w^-3)). Correctness is checked by bilinearity tests, not
+speed: verification is host-side and latency-insensitive here.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+from . import params as FP
+from . import tower as T
+
+
+@dataclasses.dataclass(frozen=True)
+class CurveSpec:
+    name: str
+    fq: FP.FieldSpec
+    fr: FP.FieldSpec
+    b: int                       # E: y^2 = x^3 + b
+    g1: tuple[int, int]
+    xi: tuple[int, int]          # Fq6 non-residue in Fq2
+    twist: str                   # "M" or "D"
+    b2: tuple[tuple[int, int], tuple[int, int]] | None  # unused; from b/xi
+    g2: tuple[tuple[int, int], tuple[int, int]]
+    cofactor_g1: int = 1
+
+    @functools.cached_property
+    def final_exp(self) -> int:
+        p = self.fq.p
+        return (p ** 12 - 1) // self.fr.p
+
+    def __hash__(self):
+        return hash(self.name)
+
+
+BLS12_381 = CurveSpec(
+    name="bls12_381",
+    fq=FP.BLS12_381_FQ,
+    fr=FP.BLS12_381_FR,
+    b=4,
+    g1=(
+        0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
+        0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
+    ),
+    xi=(1, 1),        # 1 + u
+    twist="M",
+    b2=None,
+    g2=(
+        (
+            0x024AA2B2F08F0A91260805272DC51051C6E47AD4FA403B02B4510B647AE3D1770BAC0326A805BBEFD48056C8C121BDB8,
+            0x13E02B6052719F607DACD3A088274F65596BD0D09920B61AB5DA61BBDC7F5049334CF11213945D57E5AC7D055D042B7E,
+        ),
+        (
+            0x0CE5D527727D6E118CC9CDC6DA2E351AADFD9BAA8CBDD3A76D429A695160D12C923AC9CC3BACA289E193548608B82801,
+            0x0606C4A02EA734CC32ACD2B02BC28B99CB3E287E85A763AF267492AB572E99AB3F370D275CEC1DA1AAA9075FF05F79BE,
+        ),
+    ),
+)
+
+ALT_BN128 = CurveSpec(
+    name="alt_bn128",
+    fq=FP.ALT_BN128_FQ,
+    fr=FP.ALT_BN128_FR,
+    b=3,
+    g1=(1, 2),
+    xi=(9, 1),        # 9 + u
+    twist="D",
+    b2=None,
+    g2=(
+        (
+            10857046999023057135944570762232829481370756359578518086990519993285655852781,
+            11559732032986387107991004021392285783925812861821192530917403151452391805634,
+        ),
+        (
+            8495653923123431417604973247489272438418190587263600148770280649306958101930,
+            4082367875863433681332203403145435568316851327593401208105741076214120093531,
+        ),
+    ),
+)
+
+CURVES = {c.name: c for c in (BLS12_381, ALT_BN128)}
+
+
+# ---------------------------------------------------------------------------
+# host G1 (affine with infinity = None)
+# ---------------------------------------------------------------------------
+
+def g1_is_on_curve(c: CurveSpec, pt) -> bool:
+    if pt is None:
+        return True
+    x, y = pt
+    p = c.fq.p
+    return (y * y - x * x * x - c.b) % p == 0
+
+
+def g1_add(c: CurveSpec, a, b):
+    p = c.fq.p
+    if a is None:
+        return b
+    if b is None:
+        return a
+    x1, y1 = a
+    x2, y2 = b
+    if x1 == x2:
+        if (y1 + y2) % p == 0:
+            return None
+        lam = (3 * x1 * x1) * pow(2 * y1, -1, p) % p
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, -1, p) % p
+    x3 = (lam * lam - x1 - x2) % p
+    y3 = (lam * (x1 - x3) - y1) % p
+    return (x3, y3)
+
+
+def g1_neg(c: CurveSpec, a):
+    if a is None:
+        return None
+    return (a[0], (-a[1]) % c.fq.p)
+
+
+def g1_mul(c: CurveSpec, a, k: int):
+    k %= c.fr.p
+    out = None
+    add = a
+    while k:
+        if k & 1:
+            out = g1_add(c, out, add)
+        add = g1_add(c, add, add)
+        k >>= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host G2 (affine over Fq2, infinity = None)
+# ---------------------------------------------------------------------------
+
+def _b2(c: CurveSpec):
+    p = c.fq.p
+    bb = (c.b % p, 0)
+    if c.twist == "M":
+        return T.fq2_mul(p, bb, c.xi)
+    return T.fq2_mul(p, bb, T.fq2_inv(p, c.xi))
+
+
+def g2_is_on_curve(c: CurveSpec, pt) -> bool:
+    if pt is None:
+        return True
+    p = c.fq.p
+    x, y = pt
+    lhs = T.fq2_sqr(p, y)
+    rhs = T.fq2_add(p, T.fq2_mul(p, T.fq2_sqr(p, x), x), _b2(c))
+    return lhs == rhs
+
+
+def g2_add(c: CurveSpec, a, b):
+    p = c.fq.p
+    if a is None:
+        return b
+    if b is None:
+        return a
+    x1, y1 = a
+    x2, y2 = b
+    if x1 == x2:
+        if T.fq2_add(p, y1, y2) == T.FQ2_ZERO:
+            return None
+        num = T.fq2_scalar(p, T.fq2_sqr(p, x1), 3)
+        den = T.fq2_scalar(p, y1, 2)
+        lam = T.fq2_mul(p, num, T.fq2_inv(p, den))
+    else:
+        lam = T.fq2_mul(p, T.fq2_sub(p, y2, y1),
+                        T.fq2_inv(p, T.fq2_sub(p, x2, x1)))
+    x3 = T.fq2_sub(p, T.fq2_sub(p, T.fq2_sqr(p, lam), x1), x2)
+    y3 = T.fq2_sub(p, T.fq2_mul(p, lam, T.fq2_sub(p, x1, x3)), y1)
+    return (x3, y3)
+
+
+def g2_neg(c: CurveSpec, a):
+    if a is None:
+        return None
+    return (a[0], T.fq2_neg(c.fq.p, a[1]))
+
+
+def g2_mul(c: CurveSpec, a, k: int):
+    k %= c.fr.p
+    out = None
+    add = a
+    while k:
+        if k & 1:
+            out = g2_add(c, out, add)
+        add = g2_add(c, add, add)
+        k >>= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pairing (Tate, denominator elimination)
+# ---------------------------------------------------------------------------
+
+def _fq12_embed_fq(c: CurveSpec, a: int):
+    return (((a % c.fq.p, 0), T.FQ2_ZERO, T.FQ2_ZERO),
+            T.FQ6_ZERO)
+
+
+def _fq12_embed_fq2(c: CurveSpec, a):
+    return ((a, T.FQ2_ZERO, T.FQ2_ZERO), T.FQ6_ZERO)
+
+
+_W = (T.FQ6_ZERO, T.FQ6_ONE)  # w
+
+
+@functools.lru_cache(maxsize=None)
+def _untwist_factors(c: CurveSpec):
+    p, xi = c.fq.p, c.xi
+    w2 = T.fq12_mul(p, xi, _W, _W)
+    w3 = T.fq12_mul(p, xi, w2, _W)
+    if c.twist == "D":
+        return w2, w3
+    return T.fq12_inv(p, xi, w2), T.fq12_inv(p, xi, w3)
+
+
+def untwist(c: CurveSpec, q):
+    """psi: E'(Fq2) -> E(Fq12)."""
+    fx, fy = _untwist_factors(c)
+    p, xi = c.fq.p, c.xi
+    xs = T.fq12_mul(p, xi, _fq12_embed_fq2(c, q[0]), fx)
+    ys = T.fq12_mul(p, xi, _fq12_embed_fq2(c, q[1]), fy)
+    return xs, ys
+
+
+def miller_loop(c: CurveSpec, p_g1, q_g2):
+    """f_{r,P}(psi(Q)) — verticals skipped (killed by the final exp)."""
+    p, xi = c.fq.p, c.xi
+    if p_g1 is None or q_g2 is None:
+        return T.FQ12_ONE
+    xs, ys = untwist(c, q_g2)
+    f = T.FQ12_ONE
+    tx, ty = p_g1
+    px, py = p_g1
+    r = c.fr.p
+    bits = bin(r)[3:]  # skip leading 1
+    for bit in bits:
+        # doubling step: slope at T
+        lam = (3 * tx * tx) * pow(2 * ty, -1, p) % p
+        # l(S) = yS - yT - lam*(xS - xT)
+        line = _line_eval(c, xs, ys, tx, ty, lam)
+        f = T.fq12_mul(p, xi, T.fq12_sqr(p, xi, f), line)
+        # T = 2T
+        x3 = (lam * lam - 2 * tx) % p
+        y3 = (lam * (tx - x3) - ty) % p
+        tx, ty = x3, y3
+        if bit == "1":
+            if tx == px and (ty + py) % p == 0:
+                # vertical line: contributes an Fq6 factor, killed later
+                tx, ty = None, None  # T becomes infinity
+            elif tx == px and ty == py:
+                lam = (3 * tx * tx) * pow(2 * ty, -1, p) % p
+                f = T.fq12_mul(p, xi, f, _line_eval(c, xs, ys, tx, ty, lam))
+                x3 = (lam * lam - 2 * tx) % p
+                y3 = (lam * (tx - x3) - ty) % p
+                tx, ty = x3, y3
+            else:
+                lam = (py - ty) * pow(px - tx, -1, p) % p
+                f = T.fq12_mul(p, xi, f, _line_eval(c, xs, ys, tx, ty, lam))
+                x3 = (lam * lam - tx - px) % p
+                y3 = (lam * (tx - x3) - ty) % p
+                tx, ty = x3, y3
+        if tx is None:
+            break
+    return f
+
+
+def _line_eval(c: CurveSpec, xs, ys, tx: int, ty: int, lam: int):
+    """yS - yT - lam*(xS - xT) in Fq12."""
+    p, xi = c.fq.p, c.xi
+    t1 = T.fq12_mul(p, xi, _fq12_embed_fq(c, lam), xs)
+    out = ys
+    out = _fq12_sub(p, out, t1)
+    const = (lam * tx - ty) % p
+    out = _fq12_add(p, out, _fq12_embed_fq(c, const))
+    return out
+
+
+def _fq12_add(p, a, b):
+    return (T.fq6_add(p, a[0], b[0]), T.fq6_add(p, a[1], b[1]))
+
+
+def _fq12_sub(p, a, b):
+    return (T.fq6_sub(p, a[0], b[0]), T.fq6_sub(p, a[1], b[1]))
+
+
+def final_exponentiation(c: CurveSpec, f):
+    return T.fq12_pow(c.fq.p, c.xi, f, c.final_exp)
+
+
+def pairing(c: CurveSpec, p_g1, q_g2):
+    return final_exponentiation(c, miller_loop(c, p_g1, q_g2))
+
+
+def multi_pairing(c: CurveSpec, pairs) -> tuple:
+    """prod e(P_i, Q_i) with one shared final exponentiation."""
+    p, xi = c.fq.p, c.xi
+    f = T.FQ12_ONE
+    for (pp, qq) in pairs:
+        f = T.fq12_mul(p, xi, f, miller_loop(c, pp, qq))
+    return final_exponentiation(c, f)

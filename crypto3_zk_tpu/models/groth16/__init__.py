@@ -1,0 +1,179 @@
+"""Groth16 (r1cs_gg_ppzksnark).
+
+`systems/ppzksnark/r1cs_gg_ppzksnark/`:
+- generator (`generator.hpp:86-236`): QAP instance evaluated at toxic t,
+  queries A/B/H/L + gamma_ABC (host group math; fixed-base batching is a
+  device TODO), vk with precomputed e(alpha, beta).
+- prover (`prover.hpp:73-158`): device witness map (7 NTTs, `qap.py`) +
+  4 device MSMs (`ops/msm.py`) -> (g_A, g_B, g_C).
+- verifier (`verifier.hpp:138-187`): one multi-pairing check
+  e(A,B) == e(alpha,beta) * e(acc,gamma) * e(C,delta), host-side.
+"""
+from __future__ import annotations
+
+import dataclasses
+import random
+
+from ...arithmetization import qap as QAP
+from ...arithmetization.r1cs import R1CSConstraintSystem
+from ...fields import curves as CV
+from ...fields import tower as T
+from ...ops.msm import msm, msm_host
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    curve: CV.CurveSpec
+    constraint_system: R1CSConstraintSystem
+    alpha_g1: tuple
+    beta_g1: tuple
+    beta_g2: tuple
+    delta_g1: tuple
+    delta_g2: tuple
+    A_query: list          # G1, len nv+1
+    B_query_g1: list       # G1, len nv+1
+    B_query_g2: list       # G2, len nv+1
+    H_query: list          # G1, len degree-1
+    L_query: list          # G1, len nv - num_inputs
+
+
+@dataclasses.dataclass
+class VerificationKey:
+    curve: CV.CurveSpec
+    alpha_g1_beta_g2: tuple       # GT
+    gamma_g2: tuple
+    delta_g2: tuple
+    gamma_ABC_g1: list            # G1, len num_inputs+1 (index 0 = const)
+
+
+@dataclasses.dataclass
+class Keypair:
+    pk: ProvingKey
+    vk: VerificationKey
+
+
+@dataclasses.dataclass
+class Proof:
+    g_A: tuple
+    g_B: tuple    # G2
+    g_C: tuple
+
+
+def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
+             rng: random.Random | None = None,
+             toxic: dict | None = None) -> Keypair:
+    """`r1cs_gg_ppzksnark_generator::process` (generator.hpp:86-236,393).
+    `toxic` allows deterministic test CRS ({t, alpha, beta, gamma, delta})."""
+    rng = rng or random.Random()
+    fs = curve.fr
+    p = fs.p
+    cs.swap_AB_if_beneficial()
+    tox = toxic or {}
+    t = tox.get("t") or rng.randrange(1, p)
+    alpha = tox.get("alpha") or rng.randrange(1, p)
+    beta = tox.get("beta") or rng.randrange(1, p)
+    gamma = tox.get("gamma") or rng.randrange(1, p)
+    delta = tox.get("delta") or rng.randrange(1, p)
+    gamma_inv = pow(gamma, -1, p)
+    delta_inv = pow(delta, -1, p)
+
+    qap = QAP.instance_map_with_evaluation(fs, cs, t)
+    At, Bt, Ct, Ht = qap.At, qap.Bt, qap.Ct, qap.Ht
+
+    gamma_ABC = [(beta * At[i] + alpha * Bt[i] + Ct[i]) * gamma_inv % p
+                 for i in range(qap.num_inputs + 1)]
+    Lt = [(beta * At[i] + alpha * Bt[i] + Ct[i]) * delta_inv % p
+          for i in range(qap.num_inputs + 1, qap.num_variables + 1)]
+    Ht = Ht[: len(Ht) - 2]   # Groth16's H is degree d-2
+
+    g1 = curve.g1
+    g2 = curve.g2
+
+    def e1(k):
+        return CV.g1_mul(curve, g1, k)
+
+    def e2(k):
+        return CV.g2_mul(curve, g2, k)
+
+    A_query = [e1(a) for a in At]
+    B_query_g1 = [e1(b) for b in Bt]
+    B_query_g2 = [e2(b) for b in Bt]
+    zt_dinv = qap.Zt * delta_inv % p
+    H_query = [e1(h * zt_dinv % p) for h in Ht]
+    L_query = [e1(l) for l in Lt]
+
+    alpha_g1 = e1(alpha)
+    beta_g2 = e2(beta)
+    pk = ProvingKey(curve, cs, alpha_g1, e1(beta), beta_g2,
+                    e1(delta), e2(delta), A_query, B_query_g1, B_query_g2,
+                    H_query, L_query)
+    vk = VerificationKey(curve,
+                         CV.pairing(curve, alpha_g1, beta_g2),
+                         e2(gamma), e2(delta),
+                         [e1(v) for v in gamma_ABC])
+    return Keypair(pk, vk)
+
+
+def _msm_skip_inf(curve, bases, scalars, group="g1", use_device=True):
+    """MSM tolerating infinity bases / zero scalars (device MSM requires
+    affine non-inf points, so those pairs are filtered out host-side)."""
+    pairs = [(b, s % curve.fr.p) for b, s in zip(bases, scalars)
+             if b is not None and s % curve.fr.p != 0]
+    if not pairs:
+        return None
+    pts = [b for b, _ in pairs]
+    sc = [s for _, s in pairs]
+    if use_device and len(pts) >= 32:
+        return msm(curve, pts, sc, c=8, group=group)
+    return msm_host(curve, pts, sc, group=group)
+
+
+def prove(pk: ProvingKey, primary: list[int], aux: list[int],
+          rng: random.Random | None = None,
+          zk_rs: tuple[int, int] | None = None) -> Proof:
+    """`r1cs_gg_ppzksnark_prover::process` (prover.hpp:73-158)."""
+    curve = pk.curve
+    fs = curve.fr
+    p = fs.p
+    rng = rng or random.Random()
+    qap_wit = QAP.witness_map(fs, pk.constraint_system, primary, aux, 0, 0, 0)
+    assert qap_wit.coefficients_for_H[qap_wit.degree - 1] == 0
+    assert qap_wit.coefficients_for_H[qap_wit.degree] == 0
+
+    r, s = zk_rs if zk_rs is not None else (rng.randrange(p), rng.randrange(p))
+    assignment = [1] + qap_wit.coefficients_for_ABCs
+
+    eval_At = _msm_skip_inf(curve, pk.A_query, assignment)
+    eval_Bt_g1 = _msm_skip_inf(curve, pk.B_query_g1, assignment)
+    eval_Bt_g2 = _msm_skip_inf(curve, pk.B_query_g2, assignment, group="g2")
+    eval_Ht = _msm_skip_inf(curve, pk.H_query,
+                            qap_wit.coefficients_for_H[: qap_wit.degree - 1])
+    eval_Lt = _msm_skip_inf(curve, pk.L_query,
+                            assignment[qap_wit.num_inputs + 1:])
+
+    add, mul = (lambda a, b: CV.g1_add(curve, a, b)), \
+        (lambda a, k: CV.g1_mul(curve, a, k))
+    g1_A = add(add(pk.alpha_g1, eval_At), mul(pk.delta_g1, r))
+    g1_B = add(add(pk.beta_g1, eval_Bt_g1), mul(pk.delta_g1, s))
+    g2_B = CV.g2_add(curve, CV.g2_add(curve, pk.beta_g2, eval_Bt_g2),
+                     CV.g2_mul(curve, pk.delta_g2, s))
+    g1_C = add(add(add(add(eval_Ht, eval_Lt), mul(g1_A, s)), mul(g1_B, r)),
+               mul(pk.delta_g1, (-r * s) % p))
+    return Proof(g_A=g1_A, g_B=g2_B, g_C=g1_C)
+
+
+def verify(vk: VerificationKey, primary: list[int], proof: Proof) -> bool:
+    """`r1cs_gg_ppzksnark_verifier_weak_input_consistency` (verifier.hpp:
+    138-187): e(A,B) * e(-acc,gamma) * e(-C,delta) == e(alpha,beta)."""
+    curve = vk.curve
+    assert len(vk.gamma_ABC_g1) >= len(primary) + 1
+    acc = vk.gamma_ABC_g1[0]
+    for i, x in enumerate(primary):
+        acc = CV.g1_add(curve, acc,
+                        CV.g1_mul(curve, vk.gamma_ABC_g1[i + 1], x))
+    lhs = CV.multi_pairing(curve, [
+        (proof.g_A, proof.g_B),
+        (CV.g1_neg(curve, acc), vk.gamma_g2),
+        (CV.g1_neg(curve, proof.g_C), vk.delta_g2),
+    ])
+    return lhs == vk.alpha_g1_beta_g2

@@ -360,7 +360,8 @@ def _prefix_products(fs: FieldSpec, x: jnp.ndarray, axis: int,
     return acc
 
 
-_HOST_POWERS_MAX = 1 << 13
+_HOST_POWERS_MAX = 1 << 26  # python mulmod chains are ~0.3us/elem — host
+                            # build beats per-op device roundtrips up to huge n
 
 
 def powers(fs: FieldSpec, base_int: int, n: int) -> jnp.ndarray:
@@ -374,6 +375,10 @@ def powers(fs: FieldSpec, base_int: int, n: int) -> jnp.ndarray:
     for _ in range(m):
         vals.append(acc)
         acc = acc * w % fs.p
+    if m >= n:
+        # pure-host result (numpy): safe to capture as a jaxpr constant
+        # even when called during shard_map tracing
+        return pack_ints(fs, vals)[:, :n]
     cur = jnp.asarray(pack_ints(fs, vals))
     while cur.shape[1] < n:
         k = cur.shape[1]

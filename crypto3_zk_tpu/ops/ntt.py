@@ -42,11 +42,15 @@ class NTTPlan:
         self.omega = fs.root_of_unity(self.n)
         self.omega_inv = pow(self.omega, -1, fs.p)
         self.n_inv = pow(self.n, -1, fs.p)
-        self.bitrev = jnp.asarray(_bitrev_perm(log_n))
-        # full twiddle tables w^j, j < n/2 (Montgomery form), fwd and inv
+        self.bitrev = _bitrev_perm(log_n)
+        # full twiddle tables w^j, j < n/2 (Montgomery form), fwd and inv.
+        # Kept as HOST numpy arrays: they embed as jaxpr constants, so the
+        # kernels stay valid when traced inside shard_map on sub-meshes
+        # (device-resident closures carry foreign shardings there).
         half = max(self.n // 2, 1)
-        self.tw_fwd = L.powers(fs, self.omega, half)
-        self.tw_inv = L.powers(fs, self.omega_inv, half)
+        with jax.ensure_compile_time_eval():  # plans may be built lazily
+            self.tw_fwd = np.asarray(L.powers(fs, self.omega, half))
+            self.tw_inv = np.asarray(L.powers(fs, self.omega_inv, half))
 
     def __hash__(self):
         return hash((self.fs, self.log_n))
@@ -113,6 +117,18 @@ def ntt(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     y = _ntt_core(fs, x, plan.tw_inv, log_n)
     return L.mont_mul(fs, y, L.const_mont(fs, plan.n_inv,
                                           (1,) * (y.ndim - 1)))
+
+
+def ntt_raw(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Unscaled transform along the last axis (no 1/N factor on inverse) —
+    building block for the multi-step distributed NTT (`parallel/ntt.py`)."""
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    if n == 1:
+        return x
+    plan = get_plan(fs, log_n)
+    return _ntt_core(fs, x, plan.tw_inv if inverse else plan.tw_fwd, log_n)
 
 
 def coset_scale(fs: FieldSpec, coeffs: jnp.ndarray, g: int,
