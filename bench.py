@@ -37,15 +37,21 @@ def main():
         rng.integers(0, 1 << 15, size=(fs.nl, n), dtype=np.uint32))
 
     fwd = jax.jit(lambda a: NTT.ntt_raw(fs, a))
+
+    def sync(o):
+        # block_until_ready does NOT reliably block through the axon tunnel;
+        # a small device->host transfer forces completion of the chain.
+        return np.asarray(o[:1, :1])
+
     # warmup / compile
     out = fwd(x)
-    jax.block_until_ready(out)
+    sync(out)
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(out)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / iters
 
     value = 1.0 / dt

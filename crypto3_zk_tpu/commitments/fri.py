@@ -54,6 +54,11 @@ class FRIParams:
     def r(self) -> int:
         return sum(self.step_list)
 
+    def transcript_repr(self) -> str:
+        return (f"LPC:r={self.r},m=2,max_degree={self.max_degree},"
+                f"steps={self.step_list},lambda={self.lambda_},"
+                f"grinding={self.use_grinding}")
+
     @classmethod
     def build(cls, fs: FieldSpec, degree_log: int, expand_factor: int = 2,
               lambda_: int = 40, step_list: Optional[list[int]] = None,

@@ -21,25 +21,7 @@ from ..ops import limbs as L
 from ..poly.polynomial import PolyDFS
 from ..transcript.fiat_shamir import Transcript
 from . import fri as FRI
-
-
-class EvalStorage:
-    """z[batch][poly][point] (`eval_storage.hpp:36-95`)."""
-
-    def __init__(self):
-        self.z: dict[int, list[list[int]]] = {}
-
-    def set_batch(self, k: int, vals: list[list[int]]):
-        self.z[k] = vals
-
-    def get(self, k: int, i: int, j: int) -> int:
-        return self.z[k][i][j]
-
-    def batches(self):
-        return sorted(self.z.keys())
-
-    def batch_size(self, k: int) -> int:
-        return len(self.z[k])
+from .batched import EvalStorage, PolysEvaluator
 
 
 @dataclasses.dataclass
@@ -48,48 +30,19 @@ class LPCProof:
     fri_proof: FRI.FRIProof
 
 
-class LPCScheme:
+class LPCScheme(PolysEvaluator):
     """Stateful Placeholder-friendly commitment scheme object."""
 
     def __init__(self, fri_params: FRI.FRIParams):
+        super().__init__(fri_params.fs)
         self.fri_params = fri_params
-        self.fs: FieldSpec = fri_params.fs
-        self._polys: dict[int, list[PolyDFS]] = {}
-        self._points: dict[int, list[list[int]]] = {}
-        self._locked: dict[int, bool] = {}
         self._trees: dict[int, FRI.Precommitment] = {}
         self._batch_fixed: dict[int, bool] = {}
         self._fixed_polys_values: dict[int, list[int]] = {}
         self._etha: int = 0
-        self._z = EvalStorage()
-
-    # --- polys_evaluator interface (batched_commitment.hpp:199-244) ---
-    def append_to_batch(self, index: int, polys):
-        self._locked.setdefault(index, False)
-        assert not self._locked[index], "batch locked after commit"
-        if isinstance(polys, PolyDFS):
-            polys = [polys]
-        self._polys.setdefault(index, []).extend(polys)
-
-    def append_eval_point(self, batch_id: int, point: int, poly_id=None):
-        assert self._locked[batch_id], "add points only after commit"
-        if poly_id is None:
-            for pts in self._points[batch_id]:
-                if point not in pts:
-                    pts.append(point)
-        else:
-            if point not in self._points[batch_id][poly_id]:
-                self._points[batch_id][poly_id].append(point)
-
-    def batch_size(self, index: int) -> int:
-        return len(self._polys.get(index, []))
 
     def commit(self, index: int):
-        self._locked[index] = True
-        self._points.setdefault(
-            index, [[] for _ in self._polys[index]])
-        if len(self._points[index]) != len(self._polys[index]):
-            self._points[index] = [[] for _ in self._polys[index]]
+        self.state_commited(index)
         self._trees[index] = FRI.precommit(
             self._polys[index], self.fri_params.D[0],
             self.fri_params.step_list[0], self.fri_params)
@@ -97,11 +50,6 @@ class LPCScheme:
 
     def mark_batch_as_fixed(self, index: int):
         self._batch_fixed[index] = True
-
-    def set_batch_size(self, batch_id: int, size: int):
-        """Verifier-side batch registration (`batched_commitment.hpp:236-243`)."""
-        self._points[batch_id] = [[] for _ in range(size)]
-        self._locked[batch_id] = True
 
     # --- setup / preprocess (lpc.hpp:82-106) ---
     def preprocess(self, transcript: Transcript) -> dict[int, list[int]]:
@@ -117,23 +65,6 @@ class LPCScheme:
               preprocessed_data: dict[int, list[int]]):
         self._etha = transcript.challenge(self.fs)
         self._fixed_polys_values = preprocessed_data
-
-    # --- helpers ---
-    def get_unique_points(self) -> list[int]:
-        out = []
-        for k in sorted(self._points.keys()):
-            for pts in self._points[k]:
-                for pt in pts:
-                    if pt not in out:
-                        out.append(pt)
-        return out
-
-    def eval_polys(self):
-        for k in sorted(self._polys.keys()):
-            vals = []
-            for i, poly in enumerate(self._polys[k]):
-                vals.append([poly.evaluate(pt) for pt in self._points[k][i]])
-            self._z.set_batch(k, vals)
 
     # --- proof_eval (lpc.hpp:113-200) ---
     def proof_eval(self, transcript: Transcript) -> LPCProof:

@@ -1,0 +1,118 @@
+"""Groth16 phase-2 MPC on delta.
+
+`commitments/polynomial/r1cs_gg_ppzksnark_mpc.hpp:50-210` +
+`detail/.../crs_operations.hpp:114`: each participant contributes a fresh
+delta_j, rescaling delta_g1/delta_g2 by delta_j and H_query/L_query by
+delta_j^{-1}, publishing a PoK of delta_j over the running transcript; the
+chain is verified with same-ratio pairing checks against the initial
+keypair.
+"""
+from __future__ import annotations
+
+import dataclasses
+import random
+
+from ...commitments import proof_of_knowledge as POK
+from ...fields import curves as CV
+from ...transcript.hashes import blake2b_512
+from . import Keypair, ProvingKey, VerificationKey
+
+DELTA_PERSONALIZATION = 3
+
+
+@dataclasses.dataclass
+class MPCPublicKey:
+    delta_after: tuple     # G1 delta after this contribution
+    pok: POK.PoK
+
+
+@dataclasses.dataclass
+class MPCState:
+    keypair: Keypair
+    contributions: list[MPCPublicKey]
+    initial_delta_g1: tuple
+
+
+def _transcript(curve: CV.CurveSpec, initial_delta_g1,
+                contributions: list[MPCPublicKey]) -> bytes:
+    data = POK._ser_g1(curve, initial_delta_g1)
+    for c in contributions:
+        data += POK._ser_g1(curve, c.delta_after)
+    return blake2b_512(data)
+
+
+def init_mpc(keypair: Keypair) -> MPCState:
+    return MPCState(keypair=keypair, contributions=[],
+                    initial_delta_g1=keypair.pk.delta_g1)
+
+
+def contribute(state: MPCState, delta: int | None = None,
+               rng: random.Random | None = None) -> MPCState:
+    """Rescale the keypair by a fresh delta (`crs_operations.hpp:114`)."""
+    rng = rng or random.Random()
+    curve = state.keypair.pk.curve
+    p = curve.fr.p
+    delta = delta if delta is not None else rng.randrange(1, p)
+    dinv = pow(delta, -1, p)
+
+    tr = _transcript(curve, state.initial_delta_g1, state.contributions)
+    pok = POK.proof_eval(curve, delta, tr, DELTA_PERSONALIZATION, rng)
+
+    pk = state.keypair.pk
+    new_pk = ProvingKey(
+        curve=pk.curve, constraint_system=pk.constraint_system,
+        alpha_g1=pk.alpha_g1, beta_g1=pk.beta_g1, beta_g2=pk.beta_g2,
+        delta_g1=CV.g1_mul(curve, pk.delta_g1, delta),
+        delta_g2=CV.g2_mul(curve, pk.delta_g2, delta),
+        A_query=pk.A_query, B_query_g1=pk.B_query_g1,
+        B_query_g2=pk.B_query_g2,
+        H_query=[CV.g1_mul(curve, h, dinv) for h in pk.H_query],
+        L_query=[CV.g1_mul(curve, l, dinv) for l in pk.L_query],
+    )
+    vk = state.keypair.vk
+    new_vk = VerificationKey(curve=vk.curve,
+                             alpha_g1_beta_g2=vk.alpha_g1_beta_g2,
+                             gamma_g2=vk.gamma_g2,
+                             delta_g2=new_pk.delta_g2,
+                             gamma_ABC_g1=vk.gamma_ABC_g1)
+    return MPCState(keypair=Keypair(new_pk, new_vk),
+                    contributions=state.contributions
+                    + [MPCPublicKey(new_pk.delta_g1, pok)],
+                    initial_delta_g1=state.initial_delta_g1)
+
+
+def verify_contribution_chain(initial: Keypair, final: MPCState) -> bool:
+    """`r1cs_gg_ppzksnark_mpc::verify` essentials: PoK chain + same-ratio
+    checks tying the final keypair to the initial one."""
+    curve = initial.pk.curve
+    prev_delta = initial.pk.delta_g1
+    for i, contrib in enumerate(final.contributions):
+        tr = _transcript(curve, initial.pk.delta_g1, final.contributions[:i])
+        g2_s = POK.compute_g2_s(curve, contrib.pok.g1_s, contrib.pok.g1_s_x,
+                                tr, DELTA_PERSONALIZATION)
+        if not POK.verify_eval(curve, contrib.pok, g2_s):
+            return False
+        # delta_after = delta_j * delta_before (same ratio vs the PoK)
+        if not POK.is_same_ratio(curve, (prev_delta, contrib.delta_after),
+                                 (g2_s, contrib.pok.g2_s_x)):
+            return False
+        prev_delta = contrib.delta_after
+    fpk = final.keypair.pk
+    # final delta_g1 consistent
+    if fpk.delta_g1 != prev_delta:
+        return False
+    # delta_g1 / delta_g2 consistent
+    if not POK.is_same_ratio(curve, (initial.pk.delta_g1, fpk.delta_g1),
+                             (initial.pk.delta_g2, fpk.delta_g2)):
+        return False
+    # H/L queries rescaled by delta^{-1}: check a random element
+    rng = random.Random(0x13)
+    for (orig_q, new_q) in ((initial.pk.H_query, fpk.H_query),
+                            (initial.pk.L_query, fpk.L_query)):
+        if not orig_q:
+            continue
+        i = rng.randrange(len(orig_q))
+        if not POK.is_same_ratio(curve, (new_q[i], orig_q[i]),
+                                 (initial.pk.delta_g2, fpk.delta_g2)):
+            return False
+    return True

@@ -287,8 +287,7 @@ def process_public(params: C.PlaceholderParams,
     c_rotations = columns_rotations(constraint_system, desc)
     cs_hash = C.constraint_system_with_params_hash(
         params, constraint_system, desc,
-        repr(commitment_scheme.get_commitment_params().step_list)
-        + f",{commitment_scheme.get_commitment_params().lambda_}", delta)
+        commitment_scheme.get_commitment_params().transcript_repr(), delta)
     vk = VerificationKey(cs_hash, fixed_commitment)
 
     # transcript for commitment-scheme preprocessing (eta evaluations)
