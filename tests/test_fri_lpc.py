@@ -147,3 +147,23 @@ def test_proof_of_work_roundtrip():
     t5 = Transcript("keccak_256", SEED)
     t5.absorb(b"ctx")
     assert not POW.verify(t5, nonce + 1, 0xFF)
+
+
+def test_pedersen_vss():
+    """`test/commitment/pedersen.cpp` flow: deal -> verify -> reconstruct."""
+    import random as _r
+    from crypto3_zk_tpu.fields import curves as CV
+    from crypto3_zk_tpu.commitments import pedersen as PD
+    curve = CV.ALT_BN128
+    r = _r.Random(0x9E)
+    params = PD.key_generator(curve, n=6, k=3, rng=r)
+    secret = 0x1234567
+    prf = PD.proof_eval(params, secret, rng=r)
+    assert PD.verify_eval(params, prf)
+    assert PD.message_eval(params, prf, [1, 3, 5]) == secret
+    assert PD.message_eval(params, prf, [2, 4, 6]) == secret
+    # too few shares
+    assert PD.message_eval(params, prf, [1, 2]) == 0
+    # corrupted share breaks verification
+    prf.pk[0].s = (prf.pk[0].s + 1) % curve.fr.p
+    assert not PD.verify_eval(params, prf)
