@@ -265,7 +265,8 @@ def absorb_root(transcript: Transcript, params: FRIParams, root) -> None:
     if isinstance(root, bytes):
         transcript.absorb(root)
     else:
-        transcript.absorb(field_to_bytes(params.fs, root))
+        # field digests absorb natively on field-sponge transcripts
+        transcript.absorb_field(params.fs, root)
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,10 @@ class VerificationKey:
     gamma_g2: tuple
     delta_g2: tuple
     gamma_ABC_g1: list            # G1, len num_inputs+1 (index 0 = const)
+    # carried for the ipp2 aggregate verifier (the reference's
+    # r1cs_gg_ppzksnark_aggregate_verification_key holds these raw):
+    alpha_g1: tuple | None = None
+    beta_g2: tuple | None = None
 
 
 @dataclasses.dataclass
@@ -110,7 +114,8 @@ def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
     vk = VerificationKey(curve,
                          CV.pairing(curve, alpha_g1, beta_g2),
                          e2(gamma), e2(delta),
-                         [e1(v) for v in gamma_ABC])
+                         [e1(v) for v in gamma_ABC],
+                         alpha_g1=alpha_g1, beta_g2=beta_g2)
     return Keypair(pk, vk)
 
 

@@ -65,7 +65,10 @@ def constraint_system_with_params_hash(
         delta: int,
         application_id: str = "Default application dependent transcript initialization string",
 ) -> bytes:
-    h, _ = get_hash(params.transcript_hash)
+    if params.transcript_hash == "poseidon":
+        from ...transcript.hashes import sha2_256 as h
+    else:
+        h, _ = get_hash(params.transcript_hash)
     parts = [
         f"field={params.fs.p:#x}",
         f"rows={desc.rows_amount},usable={desc.usable_rows_amount}",

@@ -22,6 +22,7 @@ from ...ops import limbs as L
 from ...poly.domain import Domain, get_domain
 from ...poly.polynomial import PolyDFS
 from ...transcript.fiat_shamir import Transcript
+from ...transcript.poseidon_transcript import make_transcript
 from . import common as C
 
 
@@ -291,7 +292,7 @@ def process_public(params: C.PlaceholderParams,
     vk = VerificationKey(cs_hash, fixed_commitment)
 
     # transcript for commitment-scheme preprocessing (eta evaluations)
-    transcript = Transcript(params.transcript_hash, seed=b"")
+    transcript = make_transcript(params.transcript_hash, fs, b"")
     transcript.absorb(vk.constraint_system_with_params_hash)
     _absorb_commitment(transcript, params.fs, vk.fixed_values_commitment)
     scheme_data = commitment_scheme.preprocess(transcript)
@@ -333,9 +334,8 @@ def process_private(params: C.PlaceholderParams,
                                    witnesses=witnesses)
 
 
-def _absorb_commitment(transcript: Transcript, fs: FieldSpec, commitment):
-    from ...transcript.fiat_shamir import field_to_bytes
+def _absorb_commitment(transcript, fs: FieldSpec, commitment):
     if isinstance(commitment, bytes):
         transcript.absorb(commitment)
     else:
-        transcript.absorb(field_to_bytes(fs, commitment))
+        transcript.absorb_field(fs, commitment)

@@ -17,6 +17,7 @@ from ...ops import limbs as L
 from ...ops import ntt as N
 from ...poly.polynomial import PolyDFS, polynomial_sum
 from ...transcript.fiat_shamir import Transcript
+from ...transcript.poseidon_transcript import make_transcript
 from . import common as C
 from .arguments import (PolynomialTable, gates_prove_eval,
                         permutation_prove_eval)
@@ -94,7 +95,7 @@ def prove(params: C.PlaceholderParams,
     is_lookup_enabled = len(constraint_system.lookup_gates) > 0
     has_copy = len(constraint_system.copy_constraints) > 0
 
-    transcript = Transcript(params.transcript_hash, seed=b"")
+    transcript = make_transcript(params.transcript_hash, fs, b"")
     transcript.absorb(common.vk.constraint_system_with_params_hash)
     _absorb_commitment(transcript, fs, common.vk.fixed_values_commitment)
     commitment_scheme.setup(transcript, common.commitment_scheme_data)

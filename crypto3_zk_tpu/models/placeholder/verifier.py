@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from ...arithmetization import plonk as PK
 from ...transcript.fiat_shamir import Transcript
+from ...transcript.poseidon_transcript import make_transcript
 from . import common as C
 from .arguments import gates_verify_eval, permutation_verify_eval
 from .preprocessor import CommonData, _absorb_commitment
@@ -54,7 +55,7 @@ def verify(params: C.PlaceholderParams,
     w_cols, p_cols = desc.witness_columns, desc.public_input_columns
     c_cols, s_cols = desc.constant_columns, desc.selector_columns
 
-    transcript = Transcript(params.transcript_hash, seed=b"")
+    transcript = make_transcript(params.transcript_hash, fs, b"")
     transcript.absorb(common.vk.constraint_system_with_params_hash)
     _absorb_commitment(transcript, fs, common.vk.fixed_values_commitment)
     commitment_scheme.setup(transcript, common.commitment_scheme_data)

@@ -144,11 +144,11 @@ def mont_mul_pallas(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _ntt_rows_kernel(fs, log_b, rows, a_ref, tw_ref, o_ref):
-    """a_ref: (NL, rows, B) bit-REVERSED rows; tw_ref: (NL, B//2) stage
-    twiddle master table (w_B^j); runs all log_b stages in VMEM."""
+    """a_ref: (NL, rows, B) bit-REVERSED rows; tw_ref: (log_b, NL, B//2)
+    per-stage twiddles PRE-TILED to B/2 (Mosaic rejects strided gathers, so
+    the tile pattern is baked host-side); runs all log_b stages in VMEM."""
     b = 1 << log_b
     x = a_ref[...]
-    tw = tw_ref[...]
     lead = (fs.nl, rows)
     half_shape = lead + (b // 2,)
     for s in range(1, log_b + 1):
@@ -156,9 +156,8 @@ def _ntt_rows_kernel(fs, log_b, rows, a_ref, tw_ref, o_ref):
         xr = x.reshape(lead + (b // m, m))
         even = xr[..., : m // 2].reshape(half_shape)
         odd = xr[..., m // 2:].reshape(half_shape)
-        stw = tw[:, :: b // m]  # (NL, m//2)
-        stw = jnp.broadcast_to(stw[:, None, None, :],
-                               lead + (b // m, m // 2)).reshape(half_shape)
+        stw = tw_ref[s - 1]  # (NL, B//2), already tiled per stage
+        stw = jnp.broadcast_to(stw[:, None, :], half_shape)
         t = _mont_mul_value(fs, odd, stw)
         lo = _add_value(fs, even, t)
         hi = _sub_value(fs, even, t)
@@ -175,8 +174,7 @@ def _ntt_rows_pallas(fs: FieldSpec, x: jnp.ndarray, inverse: bool,
     """Batched transforms along the last axis: x (NL, M, B)."""
     nl, m_rows, b = x.shape
     log_b = b.bit_length() - 1
-    plan = NTT.get_plan(fs, log_b)
-    tw = plan.tw_inv if inverse else plan.tw_fwd  # np (NL, B/2)
+    tw = _stage_twiddles_np(fs, log_b, inverse)  # (log_b, NL, B/2)
     # bit-reverse rows (XLA gather outside the kernel)
     x = x[..., jnp.asarray(NTT._bitrev_perm(log_b))]
     rows_per_block = max(1, min(m_rows, (1 << 14) // b))
@@ -190,13 +188,27 @@ def _ntt_rows_pallas(fs: FieldSpec, x: jnp.ndarray, inverse: bool,
         in_specs=[
             pl.BlockSpec((nl, rows_per_block, b), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nl, b // 2), lambda i: (0, 0),
+            pl.BlockSpec((log_b, nl, b // 2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((nl, rows_per_block, b), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, jnp.asarray(tw))
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles_np(fs: FieldSpec, log_b: int, inverse: bool):
+    """(log_b, NL, B/2): row s-1 holds w_{2^s}^j tiled to B/2."""
+    plan = NTT.get_plan(fs, log_b)
+    tw = plan.tw_inv if inverse else plan.tw_fwd  # np (NL, B/2)
+    b = 1 << log_b
+    out = np.zeros((log_b, fs.nl, b // 2), dtype=np.uint32)
+    for s in range(1, log_b + 1):
+        m = 1 << s
+        stage = tw[:, :: b // m][:, : m // 2]       # (NL, m/2)
+        out[s - 1] = np.tile(stage, (1, b // m))
+    return out
 
 
 def ntt_pallas(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False,

@@ -93,6 +93,44 @@ def test_placeholder_rejects_bad_witness():
     assert not ok
 
 
+def _run_with(circuit_fn, fs, transcript_hash, merkle_hash, seed=0xAB,
+              max_quotient_chunks=0):
+    rng = random.Random(seed)
+    cs, assignment, desc, public_input = circuit_fn(fs, rng)
+    params = C.PlaceholderParams(fs, transcript_hash=transcript_hash,
+                                 max_quotient_chunks=max_quotient_chunks)
+    degree_log = desc.rows_amount.bit_length() - 1
+    fri_params = FRI.FRIParams.build(fs, degree_log=degree_log,
+                                     expand_factor=2, lambda_=4,
+                                     merkle_hash=merkle_hash,
+                                     transcript_hash=transcript_hash)
+    scheme = LPCScheme(fri_params)
+    pub = PP.process_public(params, cs, assignment, desc, scheme,
+                            max_quotient_poly_chunks=max_quotient_chunks)
+    priv = PP.process_private(params, cs, assignment, desc)
+    proof = prove(params, pub, priv, desc, cs, scheme)
+    vscheme = LPCScheme(fri_params)
+    return verify(params, pub.common_data, proof, desc, cs, vscheme,
+                  public_input=public_input)
+
+
+def test_placeholder_poseidon_transcript():
+    """Poseidon-sponge transcript flavor (placeholder.cpp poseidon runners)."""
+    assert _run_with(circuit_1, FS, "poseidon", "poseidon")
+
+
+def test_placeholder_goldilocks_field():
+    from crypto3_zk_tpu.fields.params import GOLDILOCKS
+    assert _run_with(circuit_1, GOLDILOCKS, "keccak_256", "poseidon")
+
+
+def test_placeholder_max_quotient_chunks():
+    """Chunked permutation/quotient mode (max_quotient_chunks != 0,
+    `placeholder.cpp` chunked suites)."""
+    assert _run_with(circuit_t, FS, "keccak_256", "poseidon",
+                     max_quotient_chunks=5)
+
+
 def test_placeholder_with_kzg_v2():
     """KZG flavor of the runner (`placeholder.cpp:1471-1560`)."""
     from crypto3_zk_tpu.fields import curves as CV
