@@ -36,7 +36,7 @@ from .batched import (EvalStorage, PolysEvaluator, eval_coeffs,
 class KZGParams:
     curve: CV.CurveSpec
     commitment_key: list          # [tau^i]_1, len d
-    verification_key: list        # [[1]_2, [tau]_2] (basic uses [1])
+    verification_key: list        # [tau^j]_2, len d2 (>= 2; basic uses 0,1)
 
     def transcript_repr(self) -> str:
         return f"KZG:{self.curve.name},d={len(self.commitment_key)}"
@@ -44,17 +44,32 @@ class KZGParams:
     @classmethod
     def setup(cls, curve: CV.CurveSpec, d: int,
               tau: int | None = None,
-              rng: random.Random | None = None) -> "KZGParams":
+              rng: random.Random | None = None,
+              d2: int = 2) -> "KZGParams":
         rng = rng or random.Random()
         tau = tau if tau is not None else rng.randrange(1, curve.fr.p)
-        # powers of tau: tau^i * G1
+        # powers of tau: tau^i * G1 (and tau^j * G2 for the batched verifier)
         ck = []
         cur = 1
         for i in range(d):
             ck.append(CV.g1_mul(curve, curve.g1, cur))
             cur = cur * tau % curve.fr.p
-        vk = [curve.g2, CV.g2_mul(curve, curve.g2, tau)]
+        vk = []
+        cur = 1
+        for j in range(max(2, d2)):
+            vk.append(CV.g2_mul(curve, curve.g2, cur))
+            cur = cur * tau % curve.fr.p
         return cls(curve, ck, vk)
+
+    def g2_commit(self, coeffs: list[int]):
+        """[f(tau)]_2 from the stored G2 powers (batched verifier side)."""
+        assert len(coeffs) <= len(self.verification_key)
+        acc = None
+        for base, c in zip(self.verification_key, coeffs):
+            if c % self.curve.fr.p:
+                acc = CV.g2_add(self.curve, acc,
+                                CV.g2_mul(self.curve, base, c))
+        return acc
 
 
 def g1_to_bytes(curve: CV.CurveSpec, pt) -> bytes:
@@ -265,6 +280,123 @@ class KZGSchemeV2(PolysEvaluator):
                          self.params.verification_key[0])
         rhs = CV.pairing(curve, proof.pi_2, self.params.verification_key[1])
         return lhs == rhs
+
+    def get_commitment_params(self):
+        return self.params
+
+
+# ---------------------------------------------------------------------------
+# batched KZG, BDFG20 v1 (kzg.hpp:219-629)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class KZGBDFGProof:
+    z: EvalStorage
+    pi: object               # single combined-quotient commitment
+
+
+class KZGSchemeBDFG(PolysEvaluator):
+    """Stateful batched KZG, the reference's `batched_kzg` /
+    `kzg_commitment_scheme` (`kzg.hpp:219-319` scheme, `:322-629` static
+    algorithms, `:636-873` stateful adapter).
+
+    One proof pi = commit( sum_i theta^i (f_i - r_i) / Z_{S_i} ) where r_i
+    interpolates f_i on its point set S_i; the verifier checks
+
+        prod_i e(theta^i (C_i - [r_i(tau)]_1), [Z_{T \\ S_i}(tau)]_2)
+            == e(pi, [Z_T(tau)]_2)
+
+    — one pairing accumulation per poly, with [.]_2 terms built from the
+    SRS's G2 powers (params.verification_key must extend past degree |T|).
+    KZGSchemeV2 (above) trades those G2 powers for a second opening."""
+
+    def __init__(self, params: KZGParams):
+        super().__init__(params.curve.fr)
+        self.params = params
+        self.curve = params.curve
+        self._commitments: dict[int, bytes] = {}
+        self._merged_points: list[int] = []
+
+    # interface parity
+    def mark_batch_as_fixed(self, index: int):
+        pass
+
+    def preprocess(self, transcript: Transcript):
+        return True
+
+    def setup(self, transcript: Transcript, preprocessed_data=True):
+        pass
+
+    def commit(self, index: int) -> bytes:
+        self.state_commited(index)
+        blob = b""
+        for poly in self._polys[index]:
+            c = commit_one(self.params, poly.coefficients().to_ints())
+            blob += g1_to_bytes(self.curve, c)
+        self._commitments[index] = blob
+        return blob
+
+    _merge_eval_points = KZGSchemeV2._merge_eval_points
+    _set_difference_polynom = KZGSchemeV2._set_difference_polynom
+    _update_transcript = KZGSchemeV2._update_transcript
+
+    def proof_eval(self, transcript: Transcript) -> KZGBDFGProof:
+        p = self.fs.p
+        self.eval_polys()
+        self._merge_eval_points()
+        for k in sorted(self._commitments.keys()):
+            self._update_transcript(k, transcript)
+
+        theta = transcript.challenge(self.fs)
+        theta_i = 1
+        q = Poly.zero(self.fs)
+        for k in sorted(self._polys.keys()):
+            for i in range(self._z.batch_size(k)):
+                f_i = self._polys[k][i].coefficients()
+                u = Poly.from_ints(self.fs, self.get_U(k, i))
+                term = (f_i - u).scale(theta_i)
+                for pt in self._points[k][i]:
+                    term = term.divide_by_linear(pt)
+                q = q + term
+                theta_i = theta_i * theta % p
+        pi = commit_one(self.params, q.to_ints())
+        transcript.absorb(g1_to_bytes(self.curve, pi))
+        return KZGBDFGProof(z=self._z, pi=pi)
+
+    def verify_eval(self, proof: KZGBDFGProof,
+                    commitments: dict[int, bytes],
+                    transcript: Transcript) -> bool:
+        p = self.fs.p
+        curve = self.curve
+        self._z = proof.z
+        self._commitments = dict(commitments)
+        self._merge_eval_points()
+        for k in sorted(self._commitments.keys()):
+            self._update_transcript(k, transcript)
+
+        theta = transcript.challenge(self.fs)
+        transcript.absorb(g1_to_bytes(curve, proof.pi))
+
+        from ..fields import tower as T
+        theta_i = 1
+        nb = 2 * ((curve.fq.bits + 7) // 8)
+        pairs = []
+        for k in sorted(self._commitments.keys()):
+            blob = self._commitments[k]
+            for i in range(len(self._points[k])):
+                cm_i = g1_from_bytes(curve, blob[i * nb:(i + 1) * nb])
+                r_tau_1 = commit_one(self.params, self.get_U(k, i))
+                lhs_g1 = CV.g1_mul(
+                    curve,
+                    CV.g1_add(curve, cm_i, CV.g1_neg(curve, r_tau_1)),
+                    theta_i)
+                z_rest = self._set_difference_polynom(self._merged_points,
+                                                      self._points[k][i])
+                pairs.append((lhs_g1, self.params.g2_commit(z_rest)))
+                theta_i = theta_i * theta % p
+        z_t_2 = self.params.g2_commit(poly_from_roots(p, self._merged_points))
+        pairs.append((CV.g1_neg(curve, proof.pi), z_t_2))
+        return CV.multi_pairing(curve, pairs) == T.FQ12_ONE
 
     def get_commitment_params(self):
         return self.params

@@ -89,6 +89,27 @@ class ByteHasher:
     def digest_bytes(self, digest: bytes) -> bytes:
         return digest
 
+    # vectorized level hashing: sha2_256 batches whole tree levels on the
+    # device VPU (`ops/sha256.py`); other byte hashes run scalar on host
+    _DEVICE_BATCH_MIN = 64
+
+    def leaf_hash_rows_many(self, rows: list[list[int]]) -> list[bytes]:
+        msgs = [b"".join(field_to_bytes(self.fs, e) for e in r) for r in rows]
+        if (self.hash_name == "sha2_256"
+                and len(msgs) >= self._DEVICE_BATCH_MIN
+                and len({len(m) for m in msgs}) == 1):
+            from ..ops.sha256 import sha256_many
+            return sha256_many(msgs)
+        return [self._h(m) for m in msgs]
+
+    def node_hash_many(self, lefts: list[bytes],
+                       rights: list[bytes]) -> list[bytes]:
+        if (self.hash_name == "sha2_256"
+                and len(lefts) >= self._DEVICE_BATCH_MIN):
+            from ..ops.sha256 import sha256_many
+            return sha256_many([l + r for l, r in zip(lefts, rights)])
+        return [self._h(l + r) for l, r in zip(lefts, rights)]
+
 
 _DEVICE_LEVEL_MIN = 128  # below this, host hashing beats XLA recompiles
 
@@ -133,11 +154,20 @@ class MerkleTree:
                                 jnp.transpose(leaf_rows_dev, (1, 0, 2)))
                 leaf_rows_host = [[flat[i * n + j] for i in range(k)]
                                   for j in range(n)]
-            digests = [hasher.leaf_hash_rows_host(r) for r in leaf_rows_host]
+            if hasattr(hasher, "leaf_hash_rows_many"):
+                digests = hasher.leaf_hash_rows_many(leaf_rows_host)
+            else:
+                digests = [hasher.leaf_hash_rows_host(r)
+                           for r in leaf_rows_host]
             self.levels_host = [digests]
             while len(digests) > 1:
-                digests = [hasher.node_hash_host(digests[i], digests[i + 1])
-                           for i in range(0, len(digests), 2)]
+                if hasattr(hasher, "node_hash_many"):
+                    digests = hasher.node_hash_many(digests[0::2],
+                                                    digests[1::2])
+                else:
+                    digests = [hasher.node_hash_host(digests[i],
+                                                     digests[i + 1])
+                               for i in range(0, len(digests), 2)]
                 self.levels_host.append(digests)
             self.levels_dev = None
             self.levels_host_tail = None

@@ -2,8 +2,8 @@
 
 `systems/ppzksnark/r1cs_gg_ppzksnark/`:
 - generator (`generator.hpp:86-236`): QAP instance evaluated at toxic t,
-  queries A/B/H/L + gamma_ABC (host group math; fixed-base batching is a
-  device TODO), vk with precomputed e(alpha, beta).
+  queries A/B/H/L via device windowed fixed-base batch exponentiation
+  (`ops/msm.py::fixed_base_exp_batch`), vk with precomputed e(alpha, beta).
 - prover (`prover.hpp:73-158`): device witness map (7 NTTs, `qap.py`) +
   4 device MSMs (`ops/msm.py`) -> (g_A, g_B, g_C).
 - verifier (`verifier.hpp:138-187`): one multi-pairing check
@@ -18,7 +18,12 @@ from ...arithmetization import qap as QAP
 from ...arithmetization.r1cs import R1CSConstraintSystem
 from ...fields import curves as CV
 from ...fields import tower as T
-from ...ops.msm import msm, msm_host
+from ...ops.msm import fixed_base_exp_batch, msm, msm_host
+
+# Below this count the host double-and-add is faster than paying a device
+# dispatch; above it the generator's queries go through the batched windowed
+# fixed-base path (generator.hpp:163-229's window tables, on the VPU).
+_FIXED_BASE_DEVICE_MIN = 64
 
 
 @dataclasses.dataclass
@@ -99,12 +104,22 @@ def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
     def e2(k):
         return CV.g2_mul(curve, g2, k)
 
-    A_query = [e1(a) for a in At]
-    B_query_g1 = [e1(b) for b in Bt]
-    B_query_g2 = [e2(b) for b in Bt]
+    def batch1(ks):
+        if len(ks) >= _FIXED_BASE_DEVICE_MIN:
+            return fixed_base_exp_batch(curve, g1, ks, group="g1")
+        return [e1(k) for k in ks]
+
+    def batch2(ks):
+        if len(ks) >= _FIXED_BASE_DEVICE_MIN:
+            return fixed_base_exp_batch(curve, g2, ks, group="g2")
+        return [e2(k) for k in ks]
+
+    A_query = batch1(At)
+    B_query_g1 = batch1(Bt)
+    B_query_g2 = batch2(Bt)
     zt_dinv = qap.Zt * delta_inv % p
-    H_query = [e1(h * zt_dinv % p) for h in Ht]
-    L_query = [e1(l) for l in Lt]
+    H_query = batch1([h * zt_dinv % p for h in Ht])
+    L_query = batch1(Lt)
 
     alpha_g1 = e1(alpha)
     beta_g2 = e2(beta)

@@ -15,14 +15,8 @@ from ..arithmetization import qap as QAP
 from ..arithmetization.r1cs import R1CSConstraintSystem
 from ..fields import curves as CV
 from ..fields import tower as T
+from ..commitments.knowledge_commitment import KC, kc_multiexp
 from .groth16 import _msm_skip_inf
-
-
-@dataclasses.dataclass
-class KC:
-    """knowledge_commitment element (g in the main group, h in G1)."""
-    g: tuple
-    h: tuple
 
 
 @dataclasses.dataclass
@@ -111,10 +105,8 @@ def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
 
 
 def _kc_msm(curve, query: list[KC], scalars, g2_main=False):
-    gs = _msm_skip_inf(curve, [q.g for q in query], scalars,
-                       group="g2" if g2_main else "g1")
-    hs = _msm_skip_inf(curve, [q.h for q in query], scalars)
-    return gs, hs
+    return kc_multiexp(curve, query, scalars, g2_main=g2_main,
+                       msm_skip_inf=_msm_skip_inf)
 
 
 def prove(pk: ProvingKey, primary: list[int], aux: list[int],

@@ -159,6 +159,75 @@ def msm(curve, points_affine, scalars: list[int], c: int = 16,
     return acc
 
 
+def fixed_base_exp_batch(curve, base, scalars: list[int], c: int = 8,
+                         group: str = "g1") -> list:
+    """Windowed fixed-base batch exponentiation: [s_i * base for s_i].
+
+    Role of `algebra::get_window_table` + `batch_exp`
+    (`generator.hpp (gg):163-229`): the per-window tables are built host-side
+    once (windows * 2^c small group ops), then each output point is the sum
+    of `windows` table entries — gathered by digit and combined with
+    branch-free batched Jacobian adds on device."""
+    from ..fields import curves as CV
+    import jax.numpy as jnp
+
+    fr = curve.fr
+    n = len(scalars)
+    if n == 0:
+        return []
+    windows = -(-fr.bits // c)
+    digits = _digits_host(scalars, c, windows)
+
+    if group == "g1":
+        ops = CRV.FqOps(curve.fq)
+        hadd, hmul = CV.g1_add, CV.g1_mul
+    else:
+        ops = CRV.Fq2Ops(curve.fq)
+        hadd, hmul = CV.g2_add, CV.g2_mul
+
+    # host window tables: T[w][d] = d * 2^(cw) * base
+    tables = []
+    base_w = base
+    for w in range(windows):
+        row = [None]
+        cur = None
+        for _ in range((1 << c) - 1):
+            cur = hadd(curve, cur, base_w)
+            row.append(cur)
+        tables.append(row)
+        for _ in range(c):
+            base_w = hadd(curve, base_w, base_w)
+
+    # encode tables as device coord arrays with Z=0 marking infinity
+    def enc_table(row):
+        if group == "g1":
+            xs = ops.encode([pt[0] if pt else 0 for pt in row])
+            ys = ops.encode([pt[1] if pt else 0 for pt in row])
+        else:
+            xs = ops.encode([pt[0] if pt else (0, 0) for pt in row])
+            ys = ops.encode([pt[1] if pt else (0, 0) for pt in row])
+        zmask = np.array([0 if pt is None else 1 for pt in row],
+                         dtype=np.uint32)
+        return xs, ys, zmask
+
+    acc = CRV.inf_point(ops, (n,))
+    one = ops.ones((n,))
+    zero = ops.zeros((n,))
+    for w in range(windows):
+        xs, ys, zmask = enc_table(tables[w])
+        dw = jnp.asarray(digits[w].astype(np.int32))
+
+        def g(coord):
+            if isinstance(coord, tuple):
+                return tuple(g(x) for x in coord)
+            return coord[:, dw]
+
+        zsel = jnp.asarray(zmask)[dw] > 0
+        pz = ops.select(zsel, one, zero)
+        acc = CRV.jac_add(ops, acc, (g(xs), g(ys), pz))
+    return CRV.to_affine_host(ops, acc)
+
+
 def msm_host(curve, points_affine, scalars, group: str = "g1"):
     """Host oracle (double-and-add), for tests."""
     from ..fields import curves as CV

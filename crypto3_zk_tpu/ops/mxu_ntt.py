@@ -1,0 +1,273 @@
+"""NTT on the MXU: block transforms as int8 matrix multiplication.
+
+The radix-2 butterfly network (`ops/ntt.py`) runs on the VPU — u32 lane
+math — and tops out on 32-bit-multiply throughput. The systolic array is an
+order of magnitude denser, but it multiplies int8/bf16 tiles. This module
+maps the NTT onto it:
+
+- A length-M block transform is literally the matrix product W @ x with
+  W[k, j] = w^{kj}: one (M x M) field matmul against a batch of columns.
+- Field elements are decomposed into base-128 digit planes (7-bit digits in
+  int8: products <= 127^2 and int32 accumulation over M <= 1024 columns plus
+  ~40 diagonal merges stays < 2^30, no overflow). The digit-plane
+  convolution becomes ND int8 matmuls with int32 accumulation — exactly the
+  MXU's native contraction.
+- The wide (|2 ND| plane) accumulator is reduced back to canonical
+  Montgomery limbs by a tensorized Montgomery sweep (same lazy-carry
+  technique as `limbs.mont_mul`, with NL+1 rounds because the unreduced
+  value is C * p^2 ~ 2^520). The matrix is pre-scaled by 2^(16 (NL+1)) mod p
+  so the sweep's 2^-16(NL+1) factor cancels and Montgomery form is
+  preserved end to end.
+- Large transforms use the four-step decomposition N = R * C (same index
+  algebra as `parallel/ntt.py`): row transforms, twiddle scale, transpose,
+  column transforms — every heavy op an MXU matmul or a fused VPU multiply.
+
+Replaces the same reference surface as `ops/ntt.py`
+(`r1cs_to_qap.hpp:229-310`; SURVEY.md §2.0 radix-2 FFT row).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.params import FieldSpec
+from . import limbs as L
+
+DIGIT_BITS = 7
+DIGIT_MASK = (1 << DIGIT_BITS) - 1
+
+
+def _n_digits(fs: FieldSpec) -> int:
+    return -(-(fs.nl * 16) // DIGIT_BITS)
+
+
+def _digitize_int(v: int, nd: int) -> list[int]:
+    return [(v >> (DIGIT_BITS * j)) & DIGIT_MASK for j in range(nd)]
+
+
+class MXUNttPlan:
+    """Digit-plane DFT matrix + reduction constants for one (field, M)."""
+
+    def __init__(self, fs: FieldSpec, log_m: int, inverse: bool):
+        self.fs = fs
+        self.log_m = log_m
+        self.m = m = 1 << log_m
+        self.inverse = inverse
+        p = fs.p
+        nd = _n_digits(fs)
+        self.nd = nd
+        self.rounds = fs.nl + 1          # Montgomery sweep depth
+        omega = fs.root_of_unity(m)
+        if inverse:
+            omega = pow(omega, -1, p)
+        # W'[k, j] = omega^(kj) * 2^(16 rounds) mod p, base-128 digit planes
+        shift = pow(2, 16 * self.rounds, p)
+        pows = np.empty(m, dtype=object)
+        acc = 1
+        for i in range(m):
+            pows[i] = acc * shift % p
+            acc = acc * omega % p
+        kj = (np.outer(np.arange(m, dtype=np.int64),
+                       np.arange(m, dtype=np.int64)) % m)
+        ent = pows[kj].reshape(-1)        # (M*M,) python ints
+        # bytes-vectorized digitization (a python loop over M^2 * ND digit
+        # extractions would dominate plan build at M = 1024)
+        nb = (fs.nl * 16) // 8 + 1
+        raw = b"".join(int(v).to_bytes(nb, "little") for v in ent)
+        u8 = np.frombuffer(raw, dtype=np.uint8).reshape(-1, nb)
+        u8 = np.concatenate([u8, np.zeros((u8.shape[0], 1), np.uint8)],
+                            axis=1)
+        cols = np.empty((nd, m * m), dtype=np.int8)
+        for j in range(nd):
+            pos = DIGIT_BITS * j
+            a, s = pos // 8, pos % 8
+            d = (u8[:, a].astype(np.uint16) >> s) \
+                | (u8[:, a + 1].astype(np.uint16) << (8 - s))
+            cols[j] = (d & DIGIT_MASK).astype(np.int8)
+        self.w_digits = cols.reshape(nd, m, m)
+
+    def __hash__(self):
+        return hash((self.fs, self.log_m, self.inverse))
+
+    def __eq__(self, o):
+        return (isinstance(o, MXUNttPlan)
+                and (self.fs, self.log_m, self.inverse)
+                == (o.fs, o.log_m, o.inverse))
+
+
+@functools.lru_cache(maxsize=None)
+def get_mxu_plan(fs: FieldSpec, log_m: int, inverse: bool) -> MXUNttPlan:
+    return MXUNttPlan(fs, log_m, inverse)
+
+
+def _decompose_digits(fs: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """(NL, ...) u32 16-bit limbs -> (ND, ...) int8 base-128 digits."""
+    nd = _n_digits(fs)
+    zero = jnp.zeros_like(x[:1])
+    xp = jnp.concatenate([x, zero], axis=0)        # pad one limb
+    planes = []
+    for j in range(nd):
+        pos = DIGIT_BITS * j
+        a, s = pos // 16, pos % 16
+        v = xp[a] >> s
+        if s > 16 - DIGIT_BITS and a + 1 <= fs.nl:
+            v = v | (xp[a + 1] << (16 - s))
+        planes.append(v & DIGIT_MASK)
+    return jnp.stack(planes).astype(jnp.int8)
+
+
+def _mont_reduce_wide(fs: FieldSpec, planes: jnp.ndarray,
+                      plane_bound: int) -> jnp.ndarray:
+    """planes: (NP, ...) int32 base-128 digit sums of a value V < 2^(16 NL) *
+    p; returns V * 2^(-16 (NL+1)) mod p as canonical (NL, ...) u32 limbs.
+
+    Same lazy-carry discipline as `limbs.mont_mul`: pack the digit planes
+    into 16-bit columns (kept lazy in u32), run NL+1 Montgomery rounds
+    (resolve only column 0's carry), then one full sweep + cond-subtract."""
+    nl = fs.nl
+    rounds = nl + 1
+    np_planes = planes.shape[0]
+    bshape = planes.shape[1:]
+    pad_batch = [(0, 0)] * len(bshape)
+
+    # fold planes so digits fit comfortably before packing
+    chunks = -(-plane_bound.bit_length() // DIGIT_BITS)
+    if chunks > 1:
+        ext = jnp.pad(planes, [(0, chunks - 1)] + pad_batch)
+        acc = ext & DIGIT_MASK
+        for k in range(1, chunks):
+            part = (planes >> (DIGIT_BITS * k)) & DIGIT_MASK
+            acc = acc.at[k:k + np_planes].add(part)
+        planes = acc
+        np_planes = np_planes + chunks - 1
+    # digits now <= chunks * 127 < 2^11
+
+    # pack into 16-bit lazy columns
+    nw = (DIGIT_BITS * (np_planes - 1) + 28) // 16 + 2
+    t = jnp.zeros((nw,) + bshape, dtype=L.U32)
+    pl32 = planes.astype(L.U32)
+    for j in range(np_planes):
+        pos = DIGIT_BITS * j
+        i, off = pos // 16, pos % 16
+        v = pl32[j] << off                         # <= 2^11 * 2^15 = 2^26
+        t = t.at[i].add(v & L.MASK)
+        t = t.at[i + 1].add(v >> 16)
+
+    # Montgomery rounds (mirrors limbs.mont_mul step 2)
+    ninv = L.U32(fs.ninv16)
+    pl = jnp.asarray(fs.p_limbs, dtype=np.uint32).reshape(
+        (nl,) + (1,) * len(bshape))
+    for _ in range(rounds):
+        m = (t[0] * ninv) & L.MASK
+        mp = m[None] * pl
+        lo = mp & L.MASK
+        hi = mp >> 16
+        carry0 = (t[0] + lo[0]) >> 16
+        rest = t[1:]
+        rest = rest + jnp.pad(lo[1:], [(0, nw - nl)] + pad_batch) \
+                    + jnp.pad(hi, [(0, nw - nl - 1)] + pad_batch)
+        rest = jnp.concatenate([(rest[0] + carry0)[None], rest[1:]], axis=0)
+        t = jnp.pad(rest, [(0, 1)] + pad_batch)
+
+    # full carry sweep; value < 2p so columns beyond NL carry at most 1
+    digits = []
+    c = jnp.uint32(0)
+    for j in range(nl):
+        v = t[j] + c
+        digits.append(v & L.MASK)
+        c = v >> 16
+    top = t[nl] + c
+    return L._join(L._cond_sub_p(fs, digits, top))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _block_ntt(fs: FieldSpec, plan: MXUNttPlan, x: jnp.ndarray,
+               w_digits: jnp.ndarray) -> jnp.ndarray:
+    """x: (NL, M, B) Montgomery limbs; transform along axis 1 (length M).
+    w_digits: (ND, M, M) int8. Returns (NL, M, B)."""
+    nd = plan.nd
+    m = plan.m
+    xd = _decompose_digits(fs, x)                  # (ND, M, B) int8
+    bshape = xd.shape[2:]
+
+    np_planes = 2 * nd - 1
+    acc = jnp.zeros((np_planes, m) + bshape, dtype=jnp.int32)
+    for a in range(nd):
+        # (M_out, ND, B) <- (M_out, M_j) @ (ND, M_j, B)
+        part = jax.lax.dot_general(
+            w_digits[a], xd,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        part = jnp.moveaxis(part, 1, 0)            # (ND, M_out, B)
+        acc = acc.at[a:a + nd].add(part)
+
+    # per-plane bound: sum over M columns of 127^2, times <= ND diagonal
+    # merges
+    plane_bound = m * (DIGIT_MASK ** 2) * nd
+    return _mont_reduce_wide(fs, acc, plane_bound)
+
+
+def _four_step_twiddles(fs: FieldSpec, n: int, r: int, c: int,
+                        inverse: bool) -> np.ndarray:
+    """(NL, R, C) Montgomery table, entry [k2, cc] = w_N^(cc * k2) —
+    vectorized host build (numpy object pow is too slow at 2^20)."""
+    p = fs.p
+    omega = fs.root_of_unity(n)
+    if inverse:
+        omega = pow(omega, -1, p)
+    # row k2 = powers of omega^k2; build with two geometric passes
+    step = np.empty(r, dtype=object)
+    acc = 1
+    for k2 in range(r):
+        step[k2] = acc                              # omega^k2
+        acc = acc * omega % p
+    out = np.empty((r, c), dtype=object)
+    cur = np.array([1] * r, dtype=object)
+    for cc in range(c):
+        out[:, cc] = cur
+        cur = [cur[k2] * step[k2] % p for k2 in range(r)]
+        cur = np.array(cur, dtype=object)
+    vals = [int(v) * fs.R % p for v in out.reshape(-1)]
+    arr = L.pack_ints(fs, vals)
+    return np.asarray(arr).reshape(fs.nl, r, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_tw_cached(fs: FieldSpec, n: int, r: int, c: int,
+                         inverse: bool):
+    return _four_step_twiddles(fs, n, r, c, inverse)
+
+
+def ntt_mxu(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False,
+            log_block: int | None = None) -> jnp.ndarray:
+    """(NL, N) -> (NL, N), natural order both ways, Montgomery form.
+    Four-step N = R * C with both factors done as MXU block matmuls.
+    Matches `ops/ntt.py::ntt` bit-exactly (same 1/N scaling on inverse)."""
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    log_c = log_block if log_block is not None else (log_n + 1) // 2
+    log_r = log_n - log_c
+    r, c = 1 << log_r, 1 << log_c
+
+    plan_r = get_mxu_plan(fs, log_r, inverse)
+    plan_c = get_mxu_plan(fs, log_c, inverse)
+    tw = _four_step_tw_cached(fs, n, r, c, inverse)
+
+    a = x.reshape(fs.nl, r, c)
+    # step 1: size-R transforms along r (batch c)
+    blk = _block_ntt(fs, plan_r, a, jnp.asarray(plan_r.w_digits))
+    # step 2: twiddle w_N^(c * k2)
+    blk = L.mont_mul(fs, blk, jnp.asarray(tw))
+    # steps 3+4: size-C transforms along c (batch k2)
+    blk = jnp.swapaxes(blk, 1, 2)                   # (NL, C, R)
+    blk = _block_ntt(fs, plan_c, blk, jnp.asarray(plan_c.w_digits))
+    # output O[k1, k2] -> X[k1 * R + k2]
+    out = blk.reshape(fs.nl, n)
+    if inverse:
+        out = L.mont_mul(fs, out, L.const_mont(fs, pow(n, -1, fs.p),
+                                               (1,)))
+    return out

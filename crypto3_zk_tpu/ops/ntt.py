@@ -74,13 +74,9 @@ def _ntt_stage(fs: FieldSpec, even: jnp.ndarray, odd: jnp.ndarray,
     return L.add(fs, even, t), L.sub(fs, even, t)
 
 
-def _ntt_core(fs: FieldSpec, x: jnp.ndarray, tw: jnp.ndarray,
-              log_n: int) -> jnp.ndarray:
-    """x: (NL, ..., N) with transform along the LAST axis; tw: (NL, N//2).
-
-    Host-driven stage loop: the heavy butterfly math is one shared jitted
-    kernel of constant shape (NL, ..., N/2); the cheap reshapes/gathers stay
-    eager, so compile cost is O(1) stages instead of O(log N)."""
+def _ntt_loop(fs: FieldSpec, x: jnp.ndarray, tw: jnp.ndarray,
+              log_n: int, stage) -> jnp.ndarray:
+    """Shared DIT stage loop; `stage(even, odd, stw)` does the butterfly."""
     n = 1 << log_n
     lead = x.shape[:-1]          # (NL, *batch)
     half_shape = lead + (n // 2,)
@@ -95,11 +91,47 @@ def _ntt_core(fs: FieldSpec, x: jnp.ndarray, tw: jnp.ndarray,
         stw = jnp.broadcast_to(
             stw.reshape((stw.shape[0],) + (1,) * (len(lead) - 1) + (1, m // 2)),
             lead + (n // m, m // 2)).reshape(half_shape)
-        lo, hi = _ntt_stage(fs, even, odd, stw)
+        lo, hi = stage(even, odd, stw)
         x = jnp.concatenate(
             [lo.reshape(lead + (n // m, m // 2)),
              hi.reshape(lead + (n // m, m // 2))], axis=-1).reshape(lead + (n,))
     return x
+
+
+def _ntt_core(fs: FieldSpec, x: jnp.ndarray, tw: jnp.ndarray,
+              log_n: int) -> jnp.ndarray:
+    """Eager stage loop: the heavy butterfly math is one shared jitted
+    kernel of constant shape (NL, ..., N/2), compiled ONCE per (field, size)
+    and reused by every stage of every transform shape — O(1) compiles for
+    the whole test matrix of small sizes."""
+    return _ntt_loop(fs, x, tw, log_n,
+                     lambda e, o, s: _ntt_stage(fs, e, o, s))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _ntt_fused(fs: FieldSpec, x: jnp.ndarray, tw: jnp.ndarray,
+               log_n: int) -> jnp.ndarray:
+    """ALL stages in one XLA program: a single device dispatch per
+    transform. For large N the eager loop's log2(N) dispatches dominate
+    wall-clock (each is a host->device round trip); fusing removes them and
+    lets XLA overlap stages' loads/stores. Compile cost is O(log N) fused
+    elementwise blocks — paid once per (field, shape)."""
+    def butterfly(even, odd, stw):
+        t = L.mont_mul(fs, odd, stw)
+        return L.add(fs, even, t), L.sub(fs, even, t)
+
+    return _ntt_loop(fs, x, tw, log_n, butterfly)
+
+
+# Above this size the transform runs as one fused program; below it the
+# shared-stage path avoids per-shape full-graph compiles.
+_FUSED_MIN_LOG = 14
+
+
+def _transform(fs: FieldSpec, x: jnp.ndarray, tw, log_n: int) -> jnp.ndarray:
+    if log_n >= _FUSED_MIN_LOG:
+        return _ntt_fused(fs, x, jnp.asarray(tw), log_n)
+    return _ntt_core(fs, x, tw, log_n)
 
 
 def ntt(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
@@ -113,8 +145,8 @@ def ntt(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         return x
     plan = get_plan(fs, log_n)
     if not inverse:
-        return _ntt_core(fs, x, plan.tw_fwd, log_n)
-    y = _ntt_core(fs, x, plan.tw_inv, log_n)
+        return _transform(fs, x, plan.tw_fwd, log_n)
+    y = _transform(fs, x, plan.tw_inv, log_n)
     return L.mont_mul(fs, y, L.const_mont(fs, plan.n_inv,
                                           (1,) * (y.ndim - 1)))
 
@@ -128,7 +160,7 @@ def ntt_raw(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray
     if n == 1:
         return x
     plan = get_plan(fs, log_n)
-    return _ntt_core(fs, x, plan.tw_inv if inverse else plan.tw_fwd, log_n)
+    return _transform(fs, x, plan.tw_inv if inverse else plan.tw_fwd, log_n)
 
 
 def coset_scale(fs: FieldSpec, coeffs: jnp.ndarray, g: int,

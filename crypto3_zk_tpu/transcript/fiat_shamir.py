@@ -61,3 +61,30 @@ class Transcript:
         t.hash_name, t._h, t.digest_len = self.hash_name, self._h, self.digest_len
         t.state = self.state
         return t
+
+
+class AccumulativeTranscript:
+    """Legacy `fiat_shamir_heuristic_accumulative` (`fiat_shamir.hpp:72-131`).
+
+    Kept for API parity only: the reference variant accumulates absorbed
+    bytes into a running hash but its `challenge` path degenerates to
+    `field::one()` (the upstream code literally returns one — documented
+    unused/broken there). Reproduced faithfully, with the accumulation
+    observable via `digest()` so tests can pin the byte behavior."""
+
+    def __init__(self, hash_name: str = "keccak_256"):
+        self.hash_name = hash_name
+        self._h, self.digest_len = get_hash(hash_name)
+        self._acc = b""
+
+    def absorb(self, data: bytes) -> None:
+        self._acc = self._h(self._acc + data)
+
+    def digest(self) -> bytes:
+        return self._acc
+
+    def challenge(self, fs: FieldSpec) -> int:
+        return 1
+
+    def int_challenge(self, bits: int = 64) -> int:
+        return 1

@@ -60,7 +60,17 @@ def _keccak_f(state: list[int]) -> list[int]:
 
 
 def keccak_256(data: bytes) -> bytes:
-    """Original Keccak-256 (pad 0x01 .. 0x80), rate 1088 bits."""
+    """Original Keccak-256 (pad 0x01 .. 0x80), rate 1088 bits. Uses the
+    native C kernel (utils/native.py) when available; pure-python fallback
+    below is the reference implementation."""
+    from ..utils.native import keccak_256_native
+    out = keccak_256_native(data)
+    if out is not None:
+        return out
+    return _keccak_256_py(data)
+
+
+def _keccak_256_py(data: bytes) -> bytes:
     rate = 136
     state = [0] * 25
     padded = bytearray(data)

@@ -102,3 +102,112 @@ def test_placeholder_profiling_info():
     assert info["rows_amount"] == desc.rows_amount
     assert info["batches"]["0"] > 0
     assert info["total_opened_values"] > 0
+
+
+def test_device_sha256_matches_hashlib():
+    import hashlib
+    from crypto3_zk_tpu.ops.sha256 import sha256_many
+    msgs = [bytes([i % 256]) * 64 for i in range(40)]
+    assert sha256_many(msgs) == [hashlib.sha256(m).digest() for m in msgs]
+    multi = [bytes(range(150))] * 3   # multi-block path
+    assert sha256_many(multi) == [hashlib.sha256(m).digest() for m in multi]
+
+
+def test_sha2_device_merkle_matches_host():
+    from crypto3_zk_tpu.commitments.merkle import ByteHasher, MerkleTree
+    fs = CURVE.fr
+    rng = random.Random(0xA5)
+    rows = [[rng.randrange(fs.p) for _ in range(2)] for _ in range(128)]
+    dev = MerkleTree(ByteHasher(fs, "sha2_256"), leaf_rows_host=rows)
+    scalar_h = ByteHasher(fs, "sha2_256")
+    scalar_h._DEVICE_BATCH_MIN = 10 ** 9
+    host = MerkleTree(scalar_h, leaf_rows_host=rows)
+    assert dev.root() == host.root()
+    idx = 77
+    assert MerkleTree.validate(scalar_h, dev.root(), rows[idx], idx,
+                               dev.proof(idx))
+
+
+def test_fixed_base_exp_batch():
+    from crypto3_zk_tpu.ops.msm import fixed_base_exp_batch
+    rng = random.Random(0xA6)
+    sc = [0, 1, CURVE.fr.p - 1] + [rng.randrange(CURVE.fr.p)
+                                   for _ in range(5)]
+    got = fixed_base_exp_batch(CURVE, CURVE.g1, sc, c=8, group="g1")
+    assert got == [CV.g1_mul(CURVE, CURVE.g1, s) for s in sc]
+
+
+def test_non_linear_combination():
+    from crypto3_zk_tpu.arithmetization.non_linear_combination import (
+        expression_to_non_linear_combination)
+    from crypto3_zk_tpu.arithmetization.plonk import (BinOp, Const, Pow, Var,
+                                                      evaluate_expr)
+    p = CURVE.fr.p
+    w0, w1 = Var(0), Var(1)
+    e = BinOp("*", BinOp("+", w0, Const(3)), Pow(w1, 2))
+    nlc = expression_to_non_linear_combination(e).collect(p)
+    vals = {0: 5, 1: 7}
+    want = evaluate_expr(e, lambda v: vals[v.index] % p,
+                         lambda c: c % p) % p
+    assert nlc.evaluate(p, lambda v: vals[v.index]) == want
+    assert nlc.max_degree() == 3
+    back = nlc.to_expression()
+    assert evaluate_expr(back, lambda v: vals[v.index] % p,
+                         lambda c: c % p) % p == want
+
+
+def test_accumulative_transcript_legacy():
+    from crypto3_zk_tpu.transcript.fiat_shamir import AccumulativeTranscript
+    t = AccumulativeTranscript()
+    t.absorb(b"abc")
+    d1 = t.digest()
+    t.absorb(b"def")
+    assert t.digest() != d1 and len(t.digest()) == 32
+    assert t.challenge(CURVE.fr) == 1       # reference quirk: returns one()
+    assert t.int_challenge() == 1
+
+
+def test_commitment_type_traits():
+    from crypto3_zk_tpu.commitments import kzg as KZG
+    from crypto3_zk_tpu.commitments.lpc import LPCScheme
+    from crypto3_zk_tpu.commitments.type_traits import (is_commitment, is_kzg,
+                                                        is_lpc,
+                                                        select_container)
+    params = KZG.KZGParams.setup(CURVE, 4, tau=5)
+    v2 = KZG.KZGSchemeV2(params)
+    assert is_commitment(v2) and is_kzg(v2) and not is_lpc(v2)
+    assert select_container(v2) is tuple
+    assert is_kzg(KZG.KZGSchemeBDFG) and not is_lpc(KZG.KZGSchemeBDFG)
+    assert is_lpc(LPCScheme) and not is_kzg(LPCScheme)
+
+
+def test_algebraic_engine_and_accumulation_vector():
+    from crypto3_zk_tpu.utils.algebraic_engine import AlgebraicEngine
+    from crypto3_zk_tpu.utils.sparse_vector import AccumulationVector
+    e1, e2 = AlgebraicEngine(42), AlgebraicEngine(42)
+    assert e1.field_elements(CURVE.fr, 5) == e2.field_elements(CURVE.fr, 5)
+    assert e1.g1(CURVE) == e2.g1(CURVE)
+    eng = AlgebraicEngine(7)
+    ic = [eng.g1(CURVE) for _ in range(4)]
+    av = AccumulationVector.from_dense(ic)
+    xs = [eng.field_element(CURVE.fr) for _ in range(3)]
+    folded = av.accumulate_chunk(CURVE, xs)
+    want = ic[0]
+    for pt, x in zip(ic[1:], xs):
+        want = CV.g1_add(CURVE, want, CV.g1_mul(CURVE, pt, x))
+    assert folded.first == want and folded.rest.indices == []
+
+
+def test_knowledge_commitment_batch_exp():
+    from crypto3_zk_tpu.commitments.knowledge_commitment import (
+        KnowledgeCommitmentVector, kc_batch_exp)
+    from crypto3_zk_tpu.utils.algebraic_engine import AlgebraicEngine
+    eng = AlgebraicEngine(9)
+    h_base = eng.g1(CURVE)
+    sc = [eng.field_element(CURVE.fr) for _ in range(4)]
+    kcs = kc_batch_exp(CURVE, CURVE.g1, h_base, sc)
+    for k, s in zip(kcs, sc):
+        assert k.g == CV.g1_mul(CURVE, CURVE.g1, s)
+        assert k.h == CV.g1_mul(CURVE, h_base, s)
+    v = KnowledgeCommitmentVector.from_dense([None] + kcs)
+    assert v.to_dense()[0] is None and v.to_dense()[1] == kcs[0]

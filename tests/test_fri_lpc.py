@@ -167,3 +167,25 @@ def test_pedersen_vss():
     # corrupted share breaks verification
     prf.pk[0].s = (prf.pk[0].s + 1) % curve.fr.p
     assert not PD.verify_eval(params, prf)
+
+
+def test_legacy_batched_fri_variants():
+    from crypto3_zk_tpu.commitments.legacy_fri import (
+        BasicBatchedFriCompileTimeSize, BasicBatchedFriRuntimeSize)
+    params = FRI.FRIParams.build(FS, degree_log=4, expand_factor=2,
+                                 lambda_=4, step_list=[1, 1, 1])
+    sch = BasicBatchedFriRuntimeSize(params)
+    polys = [PolyDFS.from_poly(rand_poly(16)) for _ in range(3)]
+    pre = sch.precommit(polys)
+    tr = Transcript("keccak_256", SEED)
+    proof = sch.proof_eval(polys, pre, tr)
+    tv = Transcript("keccak_256", SEED)
+    assert sch.verify_eval(proof, pre.root(), 3, tv)
+    assert tr.challenge(FS) == tv.challenge(FS)
+
+    ct = BasicBatchedFriCompileTimeSize(params, 3)
+    pre2 = ct.precommit(polys)
+    proof2 = ct.proof_eval(polys, pre2, Transcript("keccak_256", SEED))
+    assert ct.verify_eval(proof2, pre2.root(), Transcript("keccak_256", SEED))
+    with pytest.raises(ValueError):
+        ct.precommit(polys[:2])

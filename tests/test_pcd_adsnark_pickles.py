@@ -1,0 +1,142 @@
+"""PCD chains, ADSNARK, pickles building blocks."""
+import random
+
+import pytest
+
+from crypto3_zk_tpu.arithmetization import r1cs as R
+from crypto3_zk_tpu.fields import curves as CV
+from crypto3_zk_tpu.models import adsnark as AD
+from crypto3_zk_tpu.models import pcd as PCD
+
+CURVE = CV.ALT_BN128
+P = CURVE.fr.p
+
+
+def _counter_predicate():
+    """Compliance: outgoing = incoming + 1 (one incoming message of size 1).
+    Variables: 1 = outgoing (primary); 2 = local, 3 = incoming (aux)."""
+    cs = R.R1CSConstraintSystem(primary_input_size=1, auxiliary_input_size=2)
+    # (incoming + 1) * 1 = outgoing
+    cs.add_constraint(R.LinearCombination([(3, 1), (0, 1)]), R.lc((0, 1)),
+                      R.lc((1, 1)))
+    return PCD.CompliancePredicate(name=1, type_id=1, constraint_system=cs,
+                                   outgoing_size=1, local_data_size=1,
+                                   incoming_sizes=[1])
+
+
+def test_pcd_two_step_chain():
+    rng = random.Random(0x9CE)
+    pred = _counter_predicate()
+    kp = PCD.generator(CURVE, [pred], rng=rng)
+    # step 1: incoming message value 0 (genesis), outgoing 1
+    step1 = PCD.prover(kp, pred, PCD.PCDMessage(1, [1]),
+                       local_data=[0], incoming=[], witness=[0], rng=rng)
+    # manually attach genesis incoming payload in aux: witness arg covers it
+    assert PCD.verifier(kp, step1)
+    # step 2: incoming = step1 (value 1), outgoing 2
+    step2 = PCD.prover(kp, pred, PCD.PCDMessage(1, [2]),
+                       local_data=[0], incoming=[step1], witness=[], rng=rng)
+    assert PCD.verifier(kp, step2)
+    # corrupt chain: tamper the inner step's message
+    step1.outgoing.payload[0] = 7
+    assert not PCD.verifier(kp, step2)
+    # recursive mode gated on cycle params
+    with pytest.raises(NotImplementedError):
+        PCD.generator(CURVE, [pred], rng=rng, mode="recursive")
+
+
+def test_adsnark_roundtrip():
+    rng = random.Random(0xAD5)
+    # circuit: v1 * v2 = w  (v1 authenticated, v2 public)
+    cs = R.R1CSConstraintSystem(primary_input_size=2, auxiliary_input_size=1)
+    cs.add_constraint(R.lc((1, 1)), R.lc((2, 1)), R.lc((3, 1)))
+    v1, v2 = 6, 7
+    aux = [42]
+    assert cs.is_satisfied(P, [v1, v2], aux)
+    pub, authk = AD.generate(CURVE, cs, n_auth=1, rng=rng)
+    authdata = AD.auth_sign(pub, authk, [b"sensor-1"], [v1], rng=rng)
+    proof = AD.prove(pub, [v1, v2], aux, rng=rng)
+    assert AD.verify_symmetric(pub, authk, authdata, [v2], proof)
+    # forged authenticated data rejected (bad signature)
+    forged = AD.AuthenticatedValue(
+        label=b"sensor-1",
+        D=CV.g1_add(CURVE, authdata[0].D, CURVE.g1),
+        sig=authdata[0].sig)
+    assert not AD.verify_symmetric(pub, authk, [forged], [v2], proof)
+    # data for a DIFFERENT value fails the proof equation
+    other = AD.auth_sign(pub, authk, [b"sensor-1"], [v1 + 1], rng=rng)
+    assert not AD.verify_symmetric(pub, authk, other, [v2], proof)
+
+
+def test_pickles_polish_token_and_alphas():
+    from crypto3_zk_tpu.fields import params as FP
+    from crypto3_zk_tpu.models import pickles as PKL
+    from crypto3_zk_tpu.poly.domain import get_domain
+    fs = FP.PALLAS_FR
+    p = fs.p
+    dom = get_domain(fs, 16)
+    c = PKL.Constants(alpha=3, beta=5, gamma=7, joint_combiner=11,
+                      endo_coefficient=13, mds=[[1, 2], [3, 4]])
+    evals = {("w", 0): 100, ("w", 1): 200}
+    # expr: alpha * cell(w0) + cell(w1)^2 - gamma
+    toks = [
+        PKL.PolishToken(PKL.Tok.ALPHA),
+        PKL.PolishToken(PKL.Tok.CELL, ("w", 0)),
+        PKL.PolishToken(PKL.Tok.MUL),
+        PKL.PolishToken(PKL.Tok.CELL, ("w", 1)),
+        PKL.PolishToken(PKL.Tok.POW, 2),
+        PKL.PolishToken(PKL.Tok.ADD),
+        PKL.PolishToken(PKL.Tok.GAMMA),
+        PKL.PolishToken(PKL.Tok.SUB),
+    ]
+    got = PKL.evaluate_polish(toks, dom, 123, evals, c)
+    assert got == (3 * 100 + 200 * 200 - 7) % p
+    # store/load
+    toks2 = [
+        PKL.PolishToken(PKL.Tok.LITERAL, 9),
+        PKL.PolishToken(PKL.Tok.STORE),
+        PKL.PolishToken(PKL.Tok.LOAD, 0),
+        PKL.PolishToken(PKL.Tok.MUL),
+    ]
+    assert PKL.evaluate_polish(toks2, dom, 1, {}, c) == 81
+    # vanishes-on-last-4-rows is zero on those rows
+    w_last = dom.element(dom.n - 1)
+    assert PKL.eval_vanishes_on_last_4_rows(dom, w_last) == 0
+    # unnormalized lagrange basis identity
+    pt = 987654321
+    ulb = PKL.unnormalized_lagrange_basis(dom, 3, pt)
+    assert ulb * ((pt - dom.element(3)) % p) % p == dom.evaluate_vanishing(pt)
+    # alphas registry
+    al = PKL.Alphas()
+    al.register(PKL.ArgumentType.GATE, 3)
+    al.register(PKL.ArgumentType.PERMUTATION, 2)
+    al.instantiate(p, 5)
+    assert al.get_alphas(PKL.ArgumentType.GATE, 3) == [1, 5, 25]
+    assert al.get_alphas(PKL.ArgumentType.PERMUTATION, 2) == [125, 625]
+    # kimchi sponge 128-bit challenge
+    sp = PKL.KimchiSponge(FP.PALLAS_FQ)
+    sp.absorb_fr(42)
+    ch = sp.challenge()
+    assert 0 <= ch < (1 << 128)
+
+
+def test_kimchi_transcript_sponges():
+    from crypto3_zk_tpu.fields.params import PALLAS_FR
+    from crypto3_zk_tpu.transcript.kimchi import (DefaultFqSponge,
+                                                  DefaultFrSponge,
+                                                  ScalarChallenge)
+    s = DefaultFqSponge(PALLAS_FR)
+    s.absorb_g((5, 7))
+    s.absorb_g(None)
+    ch = s.squeeze_challenge()
+    assert 0 <= ch.value < (1 << 128)
+    s2 = DefaultFqSponge(PALLAS_FR)
+    s2.absorb_g((5, 7))
+    s2.absorb_g(None)
+    assert s2.squeeze_challenge() == ch
+    p = PALLAS_FR.p
+    endo = 0x2D33357CB532458ED3552A23A8554E5005270D29D19FC7D27B7FD22F0201B547
+    assert 0 <= ch.to_field(p, endo) < p
+    fr = DefaultFrSponge(PALLAS_FR)
+    fr.absorb_evaluations([1, 2, 3])
+    assert fr.squeeze_challenge().value != 0
