@@ -324,3 +324,24 @@ def pad_rows(n: int, minimum: int = 8) -> int:
     """Next power of two >= max(n, minimum) (`padding.hpp:40-80`)."""
     n = max(n, minimum)
     return 1 << (n - 1).bit_length()
+
+
+class PlonkPermutation:
+    """(column, row) -> (column, row) permutation map built by equating
+    cells (`zk/math/permutation.hpp:34-64`). The Placeholder preprocessor's
+    union-find (`models/placeholder/preprocessor.py::CycleRepresentation`)
+    is the production path; this is the reference's simpler map surface."""
+
+    def __init__(self, columns: int = 0, rows: int = 0):
+        self.map: dict[tuple[int, int], tuple[int, int]] = {
+            (i, j): (i, j) for i in range(columns) for j in range(rows)}
+
+    def cells_equal(self, cell: tuple[int, int],
+                    equal_to: tuple[int, int]) -> None:
+        self.map[cell] = self.map.get(equal_to, equal_to)
+
+    def __getitem__(self, key: tuple[int, int]) -> tuple[int, int]:
+        return self.map.get(key, key)
+
+    def __setitem__(self, key: tuple[int, int], v: tuple[int, int]) -> None:
+        self.map[key] = v

@@ -20,6 +20,13 @@ from . import params as FP
 from . import tower as T
 
 
+def _is_mnt(c) -> bool:
+    """Duck dispatch: the MNT4/MNT6 PCD cycle (`fields/mnt.py`) plugs into
+    the same g1/g2/pairing entry points the SNARK models call."""
+    from . import mnt as _m
+    return isinstance(c, _m.MNTCurve)
+
+
 @dataclasses.dataclass(frozen=True)
 class CurveSpec:
     name: str
@@ -103,6 +110,9 @@ def g1_is_on_curve(c: CurveSpec, pt) -> bool:
 
 
 def g1_add(c: CurveSpec, a, b):
+    if _is_mnt(c):
+        from . import mnt as _m
+        return _m.g1_add(c, a, b)
     p = c.fq.p
     if a is None:
         return b
@@ -122,12 +132,18 @@ def g1_add(c: CurveSpec, a, b):
 
 
 def g1_neg(c: CurveSpec, a):
+    if _is_mnt(c):
+        from . import mnt as _m
+        return _m.g1_neg(c, a)
     if a is None:
         return None
     return (a[0], (-a[1]) % c.fq.p)
 
 
 def g1_mul(c: CurveSpec, a, k: int):
+    if _is_mnt(c):
+        from . import mnt as _m
+        return _m.g1_mul(c, a, k)
     k %= c.fr.p
     out = None
     add = a
@@ -162,6 +178,9 @@ def g2_is_on_curve(c: CurveSpec, pt) -> bool:
 
 
 def g2_add(c: CurveSpec, a, b):
+    if _is_mnt(c):
+        from . import mnt as _m
+        return _m.g2_add(c, a, b)
     p = c.fq.p
     if a is None:
         return b
@@ -184,12 +203,18 @@ def g2_add(c: CurveSpec, a, b):
 
 
 def g2_neg(c: CurveSpec, a):
+    if _is_mnt(c):
+        from . import mnt as _m
+        return _m.g2_neg(c, a)
     if a is None:
         return None
     return (a[0], T.fq2_neg(c.fq.p, a[1]))
 
 
 def g2_mul(c: CurveSpec, a, k: int):
+    if _is_mnt(c):
+        from . import mnt as _m
+        return _m.g2_mul(c, a, k)
     k %= c.fr.p
     out = None
     add = a
@@ -302,10 +327,16 @@ def final_exponentiation(c: CurveSpec, f):
 
 
 def pairing(c: CurveSpec, p_g1, q_g2):
+    if _is_mnt(c):
+        from . import mnt as _m
+        return _m.pairing(c, p_g1, q_g2)
     return final_exponentiation(c, miller_loop(c, p_g1, q_g2))
 
 
 def multi_pairing(c: CurveSpec, pairs) -> tuple:
+    if _is_mnt(c):
+        from . import mnt as _m
+        return _m.multi_pairing(c, pairs)
     """prod e(P_i, Q_i) with one shared final exponentiation."""
     p, xi = c.fq.p, c.xi
     f = T.FQ12_ONE

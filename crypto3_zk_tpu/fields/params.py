@@ -136,6 +136,20 @@ GOLDILOCKS = FieldSpec(
     two_adicity=32,
 )
 
+MNT4_FR = FieldSpec(  # = MNT6 base field (the PCD cycle, fields/mnt.py)
+    name="mnt4_fr",
+    p=475922286169261325753349249653048451545124878552823515553267735739164647307408490559963137,
+    generator=5,
+    two_adicity=34,
+)
+
+MNT6_FR = FieldSpec(  # = MNT4 base field
+    name="mnt6_fr",
+    p=475922286169261325753349249653048451545124879242694725395555128576210262817955800483758081,
+    generator=17,
+    two_adicity=17,
+)
+
 PALLAS_FR = FieldSpec(  # = vesta base field; pallas scalar field
     name="pallas_fr",
     p=0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001,

@@ -104,13 +104,18 @@ def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
     def e2(k):
         return CV.g2_mul(curve, g2, k)
 
+    from ...fields import mnt as MNT
+    is_mnt = isinstance(curve, MNT.MNTCurve)
+
     def batch1(ks):
-        if len(ks) >= _FIXED_BASE_DEVICE_MIN:
+        if not is_mnt and len(ks) >= _FIXED_BASE_DEVICE_MIN:
             return fixed_base_exp_batch(curve, g1, ks, group="g1")
         return [e1(k) for k in ks]
 
     def batch2(ks):
-        if len(ks) >= _FIXED_BASE_DEVICE_MIN:
+        # MNT G2 lives in E(F_{p^k}) tuples — host path (the device Fq2Ops
+        # layout only models quadratic towers)
+        if not is_mnt and len(ks) >= _FIXED_BASE_DEVICE_MIN:
             return fixed_base_exp_batch(curve, g2, ks, group="g2")
         return [e2(k) for k in ks]
 
@@ -143,6 +148,9 @@ def _msm_skip_inf(curve, bases, scalars, group="g1", use_device=True):
         return None
     pts = [b for b, _ in pairs]
     sc = [s for _, s in pairs]
+    from ...fields import mnt as MNT
+    if isinstance(curve, MNT.MNTCurve):
+        use_device = False        # MNT G1/G2 run on the host scalar layer
     if use_device and len(pts) >= 32:
         return msm(curve, pts, sc, c=8, group=group)
     return msm_host(curve, pts, sc, group=group)

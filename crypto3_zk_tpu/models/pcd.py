@@ -13,12 +13,16 @@ This module provides the PCD capability surface:
 - single-predicate (sp) and multi-predicate (mp) machinery: message/local
   data containers, predicate registry, translation between predicates;
 - prove/verify of PCD transcripts. Composition mode:
-  * "chain" (default, available now): each step carries a Groth16 proof of
-    its own compliance; verify checks the whole chain (verification cost
-    grows with depth — the honest non-recursive instantiation);
-  * "recursive": requires a pairing-friendly cycle (MNT4/MNT6 parameters);
-    the API is in place and raises until cycle parameters are registered
-    in `fields/curves.py`.
+  * "chain" (default): each step carries a Groth16 proof of its own
+    compliance on ONE curve; verify checks the whole DAG (verification
+    cost grows with depth — the honest non-recursive instantiation);
+  * "cycle": steps alternate between MNT4-298 and MNT6-298
+    (`fields/mnt.py`) by DAG depth, so every level's verifier equations
+    are native to the NEXT level's constraint field — the exact data
+    layout recursive composition requires. Verification still walks the
+    chain; collapsing it to O(1) needs the in-circuit pairing gadget
+    (the reference gets it from the external crypto3-blueprint repo),
+    which remains on the roadmap (README).
 """
 from __future__ import annotations
 
@@ -69,12 +73,18 @@ def generator(curve: CV.CurveSpec,
               predicates: list[CompliancePredicate],
               rng: random.Random | None = None,
               mode: str = "chain") -> PCDKeypair:
-    """`r1cs_mp_ppzkpcd_generator`: one keypair per predicate."""
-    if mode == "recursive":
-        raise NotImplementedError(
-            "recursive composition needs the MNT4/MNT6 cycle parameters; "
-            "register them in fields/curves.py to enable")
+    """`r1cs_mp_ppzkpcd_generator`: one keypair per predicate ("chain"),
+    or one per (predicate, cycle side) over MNT4/MNT6 ("cycle")."""
     rng = rng or random.Random()
+    if mode == "cycle":
+        from ..fields import mnt as MNT
+        keys = {}
+        for pred in predicates:
+            keys[pred.name] = {
+                0: G16.generate(MNT.MNT4, pred.constraint_system, rng=rng),
+                1: G16.generate(MNT.MNT6, pred.constraint_system, rng=rng),
+            }
+        return PCDKeypair(predicate_keys=keys, mode=mode)
     keys = {}
     for pred in predicates:
         keys[pred.name] = G16.generate(curve, pred.constraint_system,
@@ -82,13 +92,21 @@ def generator(curve: CV.CurveSpec,
     return PCDKeypair(predicate_keys=keys, mode=mode)
 
 
+def _step_depth(incoming: list["PCDProofStep"]) -> int:
+    return 1 + max((_step_depth(s.incoming_steps) for s in incoming),
+                   default=-1)
+
+
 def prover(keypair: PCDKeypair, predicate: CompliancePredicate,
            outgoing: PCDMessage, local_data: list[int],
            incoming: list[PCDProofStep],
            witness: list[int],
            rng: random.Random | None = None) -> PCDProofStep:
-    """`r1cs_mp_ppzkpcd_prover`: prove one compliance step."""
+    """`r1cs_mp_ppzkpcd_prover`: prove one compliance step. In cycle mode
+    the proving curve alternates with DAG depth (MNT4 at even levels)."""
     kp = keypair.predicate_keys[predicate.name]
+    if keypair.mode == "cycle":
+        kp = kp[_step_depth(incoming) % 2]
     aux = list(local_data)
     for step in incoming:
         aux.extend(step.outgoing.payload)
@@ -99,9 +117,11 @@ def prover(keypair: PCDKeypair, predicate: CompliancePredicate,
 
 
 def verifier(keypair: PCDKeypair, step: PCDProofStep) -> bool:
-    """`r1cs_mp_ppzkpcd_verifier`: in chain mode, verify the entire DAG of
-    compliance proofs (recursive mode would check only the final proof)."""
+    """`r1cs_mp_ppzkpcd_verifier`: verify the DAG of compliance proofs
+    (in cycle mode, against the per-depth curve's keypair)."""
     kp = keypair.predicate_keys[step.predicate_name]
+    if keypair.mode == "cycle":
+        kp = kp[_step_depth(step.incoming_steps) % 2]
     if not G16.verify(kp.vk, step.outgoing.payload, step.proof):
         return False
     return all(verifier(keypair, s) for s in step.incoming_steps)

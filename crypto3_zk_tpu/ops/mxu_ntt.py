@@ -97,6 +97,14 @@ class MXUNttPlan:
                 and (self.fs, self.log_m, self.inverse)
                 == (o.fs, o.log_m, o.inverse))
 
+    def w_digits_dev(self) -> jnp.ndarray:
+        """Device-resident copy, uploaded once (the 37 MB table must NOT be
+        re-transferred per call — host->device over the TPU tunnel costs
+        seconds)."""
+        if not hasattr(self, "_w_dev"):
+            self._w_dev = jnp.asarray(self.w_digits)
+        return self._w_dev
+
 
 @functools.lru_cache(maxsize=None)
 def get_mxu_plan(fs: FieldSpec, log_m: int, inverse: bool) -> MXUNttPlan:
@@ -132,47 +140,50 @@ def _mont_reduce_wide(fs: FieldSpec, planes: jnp.ndarray,
     np_planes = planes.shape[0]
     bshape = planes.shape[1:]
     pad_batch = [(0, 0)] * len(bshape)
+    db = plane_bound.bit_length()                  # per-plane digit bits
 
-    # fold planes so digits fit comfortably before packing
-    chunks = -(-plane_bound.bit_length() // DIGIT_BITS)
-    if chunks > 1:
-        ext = jnp.pad(planes, [(0, chunks - 1)] + pad_batch)
-        acc = ext & DIGIT_MASK
-        for k in range(1, chunks):
-            part = (planes >> (DIGIT_BITS * k)) & DIGIT_MASK
-            acc = acc.at[k:k + np_planes].add(part)
-        planes = acc
-        np_planes = np_planes + chunks - 1
-    # digits now <= chunks * 127 < 2^11
-
-    # pack into 16-bit lazy columns
-    nw = (DIGIT_BITS * (np_planes - 1) + 28) // 16 + 2
-    t = jnp.zeros((nw,) + bshape, dtype=L.U32)
+    # pack into 16-bit lazy columns DIRECTLY from the int32 plane sums:
+    # column i = sum over planes j of bits [16i - 7j, 16i - 7j + 16) of
+    # plane j. Each column is one fused elementwise sum of ~(16 + db)/7
+    # masked shifts — no scatter, no intermediate fold pass. Column sums
+    # stay < ceil((16+db)/7) * 2^16 < 2^20.
     pl32 = planes.astype(L.U32)
-    for j in range(np_planes):
-        pos = DIGIT_BITS * j
-        i, off = pos // 16, pos % 16
-        v = pl32[j] << off                         # <= 2^11 * 2^15 = 2^26
-        t = t.at[i].add(v & L.MASK)
-        t = t.at[i + 1].add(v >> 16)
+    nw = (DIGIT_BITS * (np_planes - 1) + db) // 16 + 2
+    cols = []
+    for i in range(nw):
+        acc = None
+        for j in range(np_planes):
+            off = DIGIT_BITS * j - 16 * i          # plane j's bit offset
+            if off >= 16 or off <= -db:
+                continue
+            if off >= 0:
+                part = (pl32[j] & (L.MASK >> off)) << off
+            else:
+                part = (pl32[j] >> (-off)) & L.MASK
+            acc = part if acc is None else acc + part
+        cols.append(acc if acc is not None
+                    else jnp.zeros(bshape, dtype=L.U32))
+    t = jnp.stack(cols)
 
-    # Montgomery rounds (mirrors limbs.mont_mul step 2)
+    # Montgomery rounds (mirrors limbs.mont_mul step 2, but the array
+    # SHRINKS one column per round instead of padding — halves the traffic)
     ninv = L.U32(fs.ninv16)
     pl = jnp.asarray(fs.p_limbs, dtype=np.uint32).reshape(
         (nl,) + (1,) * len(bshape))
     for _ in range(rounds):
+        w = t.shape[0]
         m = (t[0] * ninv) & L.MASK
         mp = m[None] * pl
         lo = mp & L.MASK
         hi = mp >> 16
         carry0 = (t[0] + lo[0]) >> 16
         rest = t[1:]
-        rest = rest + jnp.pad(lo[1:], [(0, nw - nl)] + pad_batch) \
-                    + jnp.pad(hi, [(0, nw - nl - 1)] + pad_batch)
-        rest = jnp.concatenate([(rest[0] + carry0)[None], rest[1:]], axis=0)
-        t = jnp.pad(rest, [(0, 1)] + pad_batch)
+        rest = rest + jnp.pad(lo[1:], [(0, w - nl)] + pad_batch) \
+                    + jnp.pad(hi, [(0, w - nl - 1)] + pad_batch)
+        t = jnp.concatenate([(rest[0] + carry0)[None], rest[1:]], axis=0)
 
     # full carry sweep; value < 2p so columns beyond NL carry at most 1
+    t = jnp.pad(t, [(0, max(0, nl + 1 - t.shape[0]))] + pad_batch)
     digits = []
     c = jnp.uint32(0)
     for j in range(nl):
@@ -238,7 +249,7 @@ def _four_step_twiddles(fs: FieldSpec, n: int, r: int, c: int,
 @functools.lru_cache(maxsize=None)
 def _four_step_tw_cached(fs: FieldSpec, n: int, r: int, c: int,
                          inverse: bool):
-    return _four_step_twiddles(fs, n, r, c, inverse)
+    return jnp.asarray(_four_step_twiddles(fs, n, r, c, inverse))
 
 
 def ntt_mxu(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False,
@@ -259,12 +270,12 @@ def ntt_mxu(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False,
 
     a = x.reshape(fs.nl, r, c)
     # step 1: size-R transforms along r (batch c)
-    blk = _block_ntt(fs, plan_r, a, jnp.asarray(plan_r.w_digits))
+    blk = _block_ntt(fs, plan_r, a, plan_r.w_digits_dev())
     # step 2: twiddle w_N^(c * k2)
-    blk = L.mont_mul(fs, blk, jnp.asarray(tw))
+    blk = L.mont_mul(fs, blk, tw)
     # steps 3+4: size-C transforms along c (batch k2)
     blk = jnp.swapaxes(blk, 1, 2)                   # (NL, C, R)
-    blk = _block_ntt(fs, plan_c, blk, jnp.asarray(plan_c.w_digits))
+    blk = _block_ntt(fs, plan_c, blk, plan_c.w_digits_dev())
     # output O[k1, k2] -> X[k1 * R + k2]
     out = blk.reshape(fs.nl, n)
     if inverse:

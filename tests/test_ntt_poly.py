@@ -153,3 +153,13 @@ def test_domain_lagrange():
     assert d.lagrange_at(5, x) == ls[5]
     doms = calculate_domain_set(FS, 10, 4)
     assert [dd.n for dd in doms] == [1024, 512, 256, 128]
+
+
+def test_mxu_ntt_matches_vpu():
+    from crypto3_zk_tpu.ops.mxu_ntt import ntt_mxu
+    FS = P.BLS12_381_FR
+    n = 256
+    xs = [rng.randrange(FS.p) for _ in range(n)]
+    x = L.encode(FS, xs)
+    assert L.decode(FS, ntt_mxu(FS, x)) == L.decode(FS, N.ntt(FS, x))
+    assert L.decode(FS, ntt_mxu(FS, ntt_mxu(FS, x), inverse=True)) == xs

@@ -40,9 +40,15 @@ def test_pcd_two_step_chain():
     # corrupt chain: tamper the inner step's message
     step1.outgoing.payload[0] = 7
     assert not PCD.verifier(kp, step2)
-    # recursive mode gated on cycle params
-    with pytest.raises(NotImplementedError):
-        PCD.generator(CURVE, [pred], rng=rng, mode="recursive")
+    # cycle mode: alternating MNT4/MNT6 per DAG depth
+    kc = PCD.generator(CURVE, [pred], rng=rng, mode="cycle")
+    c1 = PCD.prover(kc, pred, PCD.PCDMessage(1, [1]),
+                    local_data=[0], incoming=[], witness=[0], rng=rng)
+    c2 = PCD.prover(kc, pred, PCD.PCDMessage(1, [2]),
+                    local_data=[0], incoming=[c1], witness=[], rng=rng)
+    assert PCD.verifier(kc, c2)
+    c1.outgoing.payload[0] = 9
+    assert not PCD.verifier(kc, c2)
 
 
 def test_adsnark_roundtrip():
@@ -140,3 +146,21 @@ def test_kimchi_transcript_sponges():
     fr = DefaultFrSponge(PALLAS_FR)
     fr.absorb_evaluations([1, 2, 3])
     assert fr.squeeze_challenge().value != 0
+
+
+def test_group_map_lands_on_curve():
+    from crypto3_zk_tpu.fields.group_map import GroupMap
+    from crypto3_zk_tpu.fields.params import PALLAS_FQ
+    gm = GroupMap(PALLAS_FQ, 0, 5)
+    p = PALLAS_FQ.p
+    for t in (2, 7, 1234567, p - 3):
+        x, y = gm.to_group(t)
+        assert y * y % p == (x * x * x + 5) % p
+    assert gm.to_group(17) == gm.to_group(17)
+
+
+def test_plonk_permutation_map():
+    from crypto3_zk_tpu.arithmetization.plonk import PlonkPermutation
+    pm = PlonkPermutation(2, 3)
+    pm.cells_equal((0, 1), (1, 2))
+    assert pm[(0, 1)] == (1, 2) and pm[(1, 0)] == (1, 0)
