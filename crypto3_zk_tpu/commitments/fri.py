@@ -54,6 +54,22 @@ class FRIParams:
     def r(self) -> int:
         return sum(self.step_list)
 
+    def get_params(self) -> dict:
+        """JSON-ish parameter dump (`lpc.hpp:275-298` get_params)."""
+        return {
+            "field": self.fs.name,
+            "max_degree": self.max_degree,
+            "domain_size": self.D[0].n,
+            "r": self.r,
+            "step_list": list(self.step_list),
+            "lambda": self.lambda_,
+            "expand_factor": self.expand_factor,
+            "use_grinding": self.use_grinding,
+            "grinding_parameter": self.grinding_parameter,
+            "merkle_hash": self.merkle_hash,
+            "transcript_hash": self.transcript_hash,
+        }
+
     def transcript_repr(self) -> str:
         return (f"LPC:r={self.r},m=2,max_degree={self.max_degree},"
                 f"steps={self.step_list},lambda={self.lambda_},"

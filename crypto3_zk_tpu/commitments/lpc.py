@@ -33,6 +33,12 @@ class LPCProof:
 class LPCScheme(PolysEvaluator):
     """Stateful Placeholder-friendly commitment scheme object."""
 
+    def get_params(self) -> dict:
+        """`lpc_commitment_scheme::get_params` (`lpc.hpp:275-298`)."""
+        out = dict(self.fri_params.get_params())
+        out["scheme"] = "lpc"
+        return out
+
     def __init__(self, fri_params: FRI.FRIParams):
         super().__init__(fri_params.fs)
         self.fri_params = fri_params

@@ -19,10 +19,17 @@ from . import limbs as L
 
 
 class FqOps:
-    """Vectorized base-field ops (thin veneer over limbs)."""
+    """Vectorized base-field ops (thin veneer over limbs). Hashable by
+    (class, field) so instances can be jit static arguments."""
 
     def __init__(self, fs: FieldSpec):
         self.fs = fs
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.fs))
+
+    def __eq__(self, o):
+        return type(o) is type(self) and o.fs == self.fs
 
     def add(self, a, b):
         return L.add(self.fs, a, b)
@@ -71,6 +78,12 @@ class Fq2Ops:
     def __init__(self, fs: FieldSpec):
         self.fs = fs
         self.base = FqOps(fs)
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.fs))
+
+    def __eq__(self, o):
+        return type(o) is type(self) and o.fs == self.fs
 
     def add(self, a, b):
         return (self.base.add(a[0], b[0]), self.base.add(a[1], b[1]))

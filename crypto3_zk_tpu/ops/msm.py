@@ -37,35 +37,120 @@ def _digits_host(scalars: list[int], c: int, windows: int) -> np.ndarray:
     return out
 
 
+def _point_roll(P, d):
+    """Roll each coordinate plane along the batch (last) axis by d."""
+    def r(x):
+        if isinstance(x, tuple):
+            return tuple(r(xx) for xx in x)
+        return jnp.roll(x, d, axis=-1)
+    return tuple(r(c) for c in P)
+
+
+def _segmented_prefix_points(ops, points, heads, log_n: int):
+    """Inclusive segmented prefix sums (Hillis-Steele) of a point array
+    along the LAST axis (leading axes are independent batches).
+
+    heads: (..., N) bool, True at each segment start. The doubling loop
+    runs as a `lax.fori_loop` with a DYNAMIC roll distance, so the
+    compiled graph holds exactly ONE batched Jacobian add — the unrolled
+    associative-scan network's graph was two orders of magnitude larger
+    and dominated XLA compile time."""
+    n = heads.shape[-1]
+    idx = jnp.arange(n)
+
+    def body(i, carry):
+        val, flag = carry
+        d = jnp.left_shift(1, i)
+        valid = idx >= d
+        pval = _point_roll(val, d)
+        pflag = jnp.roll(flag, d, axis=-1)
+        comb = CRV.jac_add(ops, val, pval)
+        use = valid & (~flag)
+        new_val = CRV.point_select(ops, use, comb, val)
+        new_flag = flag | jnp.where(valid, pflag, True)
+        return new_val, new_flag
+
+    val, _ = jax.lax.fori_loop(0, log_n, body, (points, heads))
+    return val
+
+
+# In-group scan length: the segmented scan does O(N log K) point adds, so
+# smaller K means less work — but the cross-group merge costs
+# O(G * n_buckets * log G), which grows as K shrinks. 2^12 balances both
+# for the 2^20..2^24 sizes the baseline targets.
+_MSM_GROUP = 1 << 12
+
+
 def _segmented_bucket_sums(ops, points, keys, n_buckets: int):
-    """points: (X, Y, Z) with batch N (sorted by key); keys: (N,) int32.
-    Returns bucket points (X, Y, Z) with batch n_buckets+1 (last = dump)."""
+    """points: (X, Y, Z) with batch N (globally sorted by key); keys: (N,)
+    int32. Returns bucket points with batch n_buckets+1 (last = dump).
+
+    Grouped formulation (SURVEY.md §2.7 bucket-parallel MSM): the sorted
+    array splits into G groups of K; each group runs an independent
+    segmented scan (log K levels instead of log N), per-(group, bucket)
+    partials scatter into a dense (n_buckets+1, G) grid (each bucket's run
+    is contiguous, so it has exactly one end per group), and the tiny
+    cross-group merge is a log G halving over the grid."""
     n = keys.shape[0]
-    keys2 = keys[None, :]  # (1, N) so every leaf scans along axis -1
+    K = min(n, _MSM_GROUP)
+    # cap the group count so the (n_buckets+1, G) merge grid stays within
+    # a few hundred MB of HBM (large c windows would otherwise OOM)
+    while K < n and (n // K) * (n_buckets + 1) > (1 << 22):
+        K *= 2
+    G = n // K
+    kg = keys.reshape(G, K)
 
-    def combine(a, b):
-        same = (a["key"] == b["key"])[0]
-        psum = CRV.jac_add(ops, a["pt"], b["pt"])
-        pt = CRV.point_select(ops, same, psum, b["pt"])
-        return {"pt": pt, "key": b["key"]}
+    def rg(x):
+        if isinstance(x, tuple):
+            return tuple(rg(xx) for xx in x)
+        return x.reshape(x.shape[:-1] + (G, K))
 
-    scanned = jax.lax.associative_scan(
-        combine, {"pt": points, "key": keys2}, axis=-1)
+    pts_g = tuple(rg(c) for c in points)
 
-    # segment ends: last occurrence of each key
-    is_end = jnp.concatenate([keys[:-1] != keys[1:],
-                              jnp.ones((1,), dtype=bool)])
-    idx = jnp.where(is_end, keys, n_buckets)  # dump slot for non-ends
+    first = jnp.ones((G, 1), dtype=bool)
+    heads = jnp.concatenate([first, kg[:, 1:] != kg[:, :-1]], axis=-1)
+    summed = _segmented_prefix_points(ops, pts_g, heads,
+                                      max((K - 1).bit_length(), 1))
 
-    bx, by, bz = CRV.inf_point(ops, (n_buckets + 1,))
-    sx, sy, sz = scanned["pt"]
+    # per-group segment ends: last in-group occurrence of each key
+    last = jnp.ones((G, 1), dtype=bool)
+    is_end = jnp.concatenate([kg[:, :-1] != kg[:, 1:], last], axis=-1)
+    # flat target in the (n_buckets+1, G) grid; non-ends go to the dump row
+    tgt = jnp.where(is_end, kg, n_buckets) * G \
+        + jnp.arange(G, dtype=kg.dtype)[:, None]
+    tgt = tgt.reshape(-1)
+
+    grid = CRV.inf_point(ops, ((n_buckets + 1) * G,))
 
     def scatter(dst, src):
         if isinstance(dst, tuple):
             return tuple(scatter(d, s) for d, s in zip(dst, src))
-        return dst.at[:, idx].set(src)
+        return dst.at[:, tgt].set(src.reshape(src.shape[:-2] + (G * K,)))
 
-    return (scatter(bx, sx), scatter(by, sy), scatter(bz, sz))
+    grid = tuple(scatter(d, s) for d, s in zip(grid, summed))
+
+    if G == 1:
+        return grid
+
+    def rg2(x):
+        if isinstance(x, tuple):
+            return tuple(rg2(xx) for xx in x)
+        return x.reshape(x.shape[:-1] + (n_buckets + 1, G))
+
+    grid = tuple(rg2(c) for c in grid)
+
+    def body(i, x):
+        half = jnp.int32(G) >> (i + 1)
+        return CRV.jac_add(ops, x, _point_roll(x, -half))
+
+    merged = jax.lax.fori_loop(0, G.bit_length() - 1, body, grid)
+
+    def take0(x):
+        if isinstance(x, tuple):
+            return tuple(take0(xx) for xx in x)
+        return x[..., 0]
+
+    return tuple(take0(c) for c in merged)
 
 
 def _weighted_bucket_reduce(ops, buckets, n_buckets: int):
@@ -79,14 +164,24 @@ def _weighted_bucket_reduce(ops, buckets, n_buckets: int):
 
     B = slice_pt(buckets, 1, n_buckets)  # drop bucket 0 and dump slot
 
-    def combine(a, b):
-        return CRV.jac_add(ops, a, b)
+    # suffix sums S_k = sum_{j >= k} B_j: flip, single-segment prefix loop,
+    # flip back (same one-add-in-a-loop graph as the bucket scan)
+    def flip(P):
+        def f(x):
+            if isinstance(x, tuple):
+                return tuple(f(xx) for xx in x)
+            return jnp.flip(x, axis=-1)
+        return tuple(f(c) for c in P)
 
-    ndim = (B[0][0] if isinstance(B[0], tuple) else B[0]).ndim
-    S = jax.lax.associative_scan(combine, B, axis=ndim - 1, reverse=True)
+    m0 = n_buckets - 1
+    heads = jnp.zeros((m0,), dtype=bool).at[0].set(True)
+    log_m = max((m0 - 1).bit_length(), 1)
+    S = flip(_segmented_prefix_points(ops, flip(B), heads, log_m))
 
     # tree-reduce S over the bucket axis (pad to a power of two with
-    # infinity so halving never broadcasts a ragged tail)
+    # infinity so halving never wraps garbage into live lanes); the
+    # halving runs as a fori_loop with a DYNAMIC roll distance — one
+    # Jacobian add in the graph instead of log2(m) unrolled ones
     m = n_buckets - 1
     m2 = 1 << (m - 1).bit_length() if m > 1 else 1
     if m2 != m:
@@ -98,21 +193,67 @@ def _weighted_bucket_reduce(ops, buckets, n_buckets: int):
             return jnp.concatenate([a, b], axis=-1)
 
         S = tuple(cat(cs, ci) for cs, ci in zip(S, inf))
-        m = m2
-    P = S
-    while m > 1:
-        half = m // 2
-        lo = slice_pt(P, 0, half)
-        hi = slice_pt(P, half, m)
-        P = CRV.jac_add(ops, lo, hi)
-        m = half
-    return P
+
+    def body(i, x):
+        half = jnp.int32(m2) >> (i + 1)
+        # after step i, lanes [0, m2 / 2^(i+1)) hold the reduction
+        return CRV.jac_add(ops, x, _point_roll(x, -half))
+
+    P = jax.lax.fori_loop(0, m2.bit_length() - 1, body, S)
+    return slice_pt(P, 0, 1)
+
+
+def _msm_window_body(ops, pts, order, keys, c: int):
+    """One c-bit window over HOST-PRESORTED digits: `order` permutes the
+    points into key order, `keys` are the sorted digits (device sorts are
+    the slowest primitive on TPU — numpy's argsort of the host-resident
+    digit matrix is orders of magnitude cheaper)."""
+    X, Y, Z = pts
+
+    def g(xx):
+        if isinstance(xx, tuple):
+            return tuple(g(x) for x in xx)
+        return xx[:, order]
+
+    buckets = _segmented_bucket_sums(ops, (g(X), g(Y), Z), keys, 1 << c)
+    return _weighted_bucket_reduce(ops, buckets, 1 << c)
+
+
+# One window as ONE compiled program (kept for utils/checkpoint.py's
+# per-window resumable MSM).
+_msm_window_sorted = functools.partial(jax.jit, static_argnums=(0, 4))(
+    _msm_window_body)
+
+
+def _msm_window_dev(ops, pts, dw, c: int):
+    dw = np.asarray(dw)
+    order = np.argsort(dw, kind="stable").astype(np.int32)
+    return _msm_window_sorted(ops, pts, jnp.asarray(order),
+                              jnp.asarray(dw[order].astype(np.int32)), c)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _msm_all_windows(ops, pts, orders_keys, c: int):
+    """ALL windows of one MSM as a single program: `lax.scan` over the
+    host-presorted (windows, N) order/key matrices reuses the one window
+    body, so there is one XLA compile per (ops, N, c) shape, one device
+    dispatch per MSM, and one device->host transfer for every window
+    total (eager per-op dispatch through the device tunnel dominates
+    wall-clock otherwise)."""
+    def step(carry, ok):
+        order, keys = ok
+        return carry, _msm_window_body(ops, pts, order, keys, c)
+
+    _, totals = jax.lax.scan(step, 0, orders_keys)
+    return totals    # point coords with leading (windows, ...) batch
 
 
 def msm(curve, points_affine, scalars: list[int], c: int = 16,
-        group: str = "g1"):
+        group: str = "g1", device=None):
     """points_affine: list of host affine points (no infinities) or
-    pre-encoded device coords; scalars: host ints. Returns host affine."""
+    pre-encoded device coords; scalars: host ints. Returns host affine.
+    `device` commits the arrays to a specific device (computation follows
+    data placement — used by `parallel/msm.py`)."""
     from ..fields import curves as CV
 
     fr = curve.fr
@@ -128,27 +269,35 @@ def msm(curve, points_affine, scalars: list[int], c: int = 16,
     n = len(scalars)
     assert n == len(points_affine) and n > 0
     windows = -(-fr.bits // c)
+
+    # pad N to the next power of two so every MSM size reuses one of a few
+    # compiled programs (pad scalars are 0: every digit lands in bucket 0,
+    # which the weighted reduce excludes)
+    n2 = 1 << (n - 1).bit_length() if n > 1 else 1
+    points_affine = list(points_affine) + [points_affine[0]] * (n2 - n)
+    scalars = list(scalars) + [0] * (n2 - n)
     digits = _digits_host(scalars, c, windows)
 
     X = ops.encode([pt[0] for pt in points_affine])
     Y = ops.encode([pt[1] for pt in points_affine])
-    Z = ops.ones((n,))
+    Z = ops.ones((n2,))
 
-    window_results = []
-    for w in range(windows):
-        dw = jnp.asarray(digits[w].astype(np.int32))
-        order = jnp.argsort(dw)
-        keys = dw[order]
+    orders = np.argsort(digits, axis=1, kind="stable").astype(np.int32)
+    keys = np.take_along_axis(digits, orders, axis=1).astype(np.int32)
+    ok = (jnp.asarray(orders), jnp.asarray(keys))
+    if device is not None:
+        X, Y, Z = jax.device_put((X, Y, Z), device)
+        ok = jax.device_put(ok, device)
+    totals = _msm_all_windows(ops, (X, Y, Z), ok, c)
 
-        def g(xx):
-            if isinstance(xx, tuple):
-                return tuple(g(x) for x in xx)
-            return xx[:, order]
+    def unstack(x):
+        # (windows, NL, 1) -> (NL, windows)
+        if isinstance(x, tuple):
+            return tuple(unstack(xx) for xx in x)
+        return jnp.transpose(x, (1, 0, 2)).reshape(x.shape[1], windows)
 
-        pts = (g(X), g(Y), Z)
-        buckets = _segmented_bucket_sums(ops, pts, keys, 1 << c)
-        total = _weighted_bucket_reduce(ops, buckets, 1 << c)
-        window_results.append(CRV.to_affine_host(ops, total)[0])
+    window_results = CRV.to_affine_host(ops, tuple(unstack(t)
+                                                   for t in totals))
 
     # host Horner combine across windows
     acc = None
@@ -210,22 +359,77 @@ def fixed_base_exp_batch(curve, base, scalars: list[int], c: int = 8,
                          dtype=np.uint32)
         return xs, ys, zmask
 
+    enc = [enc_table(row) for row in tables]
+
+    def stack(parts):
+        if isinstance(parts[0], tuple):
+            return tuple(stack([p[i] for p in parts])
+                         for i in range(len(parts[0])))
+        return jnp.stack([jnp.asarray(p) for p in parts])
+
+    xs = stack([e[0] for e in enc])          # (windows, NL, 2^c) [tuples]
+    ys = stack([e[1] for e in enc])
+    zm = jnp.stack([jnp.asarray(e[2]) for e in enc])
+    dg = jnp.asarray(digits.astype(np.int32))
+    # XLA:CPU compiles Jacobian-add programs slowly (~minutes); for small
+    # batches on the CPU test platform the eager per-op path is cheaper
+    # than one fused compile. On accelerators always fuse: per-op dispatch
+    # through the device tunnel dominates wall-clock.
+    if jax.default_backend() == "cpu" and n < 256:
+        scan_fn = functools.partial(_fixed_base_scan_eager, ops)
+    else:
+        scan_fn = functools.partial(_fixed_base_scan, ops)
+    acc = scan_fn(xs, ys, zm, dg)
+    return CRV.to_affine_host(ops, acc)
+
+
+def _fixed_base_scan_eager(ops, xs, ys, zmask, digits):
+    n = digits.shape[1]
     acc = CRV.inf_point(ops, (n,))
     one = ops.ones((n,))
     zero = ops.zeros((n,))
-    for w in range(windows):
-        xs, ys, zmask = enc_table(tables[w])
-        dw = jnp.asarray(digits[w].astype(np.int32))
+    for w in range(digits.shape[0]):
+        dw = digits[w]
 
         def g(coord):
             if isinstance(coord, tuple):
-                return tuple(g(x) for x in coord)
+                return tuple(g(c2) for c2 in coord)
             return coord[:, dw]
 
-        zsel = jnp.asarray(zmask)[dw] > 0
-        pz = ops.select(zsel, one, zero)
-        acc = CRV.jac_add(ops, acc, (g(xs), g(ys), pz))
-    return CRV.to_affine_host(ops, acc)
+        def pick(coord):
+            if isinstance(coord, tuple):
+                return tuple(pick(c2) for c2 in coord)
+            return coord[w]
+
+        pz = ops.select(zmask[w][dw] > 0, one, zero)
+        acc = CRV.jac_add(ops, acc, (g(pick(xs)), g(pick(ys)), pz))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fixed_base_scan(ops, xs, ys, zmask, digits):
+    """All windows of the fixed-base batch exponentiation as ONE program
+    (`lax.scan` over window tables + digit rows; one batched Jacobian add
+    per step) — eager per-window dispatch through the device tunnel
+    dominated keygen wall-clock otherwise."""
+    n = digits.shape[1]
+    acc = CRV.inf_point(ops, (n,))
+    one = ops.ones((n,))
+    zero = ops.zeros((n,))
+
+    def step(acc, wargs):
+        x_t, y_t, zm, dw = wargs
+
+        def g(coord):
+            if isinstance(coord, tuple):
+                return tuple(g(c2) for c2 in coord)
+            return coord[:, dw]
+
+        pz = ops.select(zm[dw] > 0, one, zero)
+        return CRV.jac_add(ops, acc, (g(x_t), g(y_t), pz)), None
+
+    acc, _ = jax.lax.scan(step, acc, (xs, ys, zmask, digits))
+    return acc
 
 
 def msm_host(curve, points_affine, scalars, group: str = "g1"):

@@ -26,14 +26,24 @@ def distributed_msm(curve, points_affine: list, scalars: list[int],
     n = len(points_affine)
     chunk = -(-n // d)
 
+    # NOTE: placement is via device_put-committed inputs (computation
+    # follows data), NOT jax.default_device contexts — persistent-cache
+    # writes of executables compiled under a default_device context
+    # segfault on this jax build (compilation_cache
+    # put_executable_and_time; reproduced twice).
     partials = []
     for i in range(d):
         lo, hi = i * chunk, min((i + 1) * chunk, n)
         if lo >= hi:
             break
-        with jax.default_device(devices[i]):
+        if hi - lo < 32:
+            # tiny partitions aren't worth a per-device executable
+            partials.append(MSM.msm_host(curve, points_affine[lo:hi],
+                                         scalars[lo:hi], group=group))
+        else:
             partials.append(MSM.msm(curve, points_affine[lo:hi],
-                                    scalars[lo:hi], c=c, group=group))
+                                    scalars[lo:hi], c=c, group=group,
+                                    device=devices[i]))
 
     add = CV.g1_add if group == "g1" else CV.g2_add
     acc = None

@@ -73,3 +73,27 @@ class AccumulationVector:
         return AccumulationVector(
             acc, SparseVector(remaining_idx, remaining_vals,
                               self.rest.domain_size))
+
+
+class SparseAccumulator:
+    """Streaming sparse-vector accumulator.
+
+    `commitments/polynomial/accumulators/sparse.hpp:60-160` (the
+    boost.accumulators adapter): scalar chunks arrive with an offset;
+    matching index blocks of the sparse vector are folded into a running
+    group element by multiexp, the untouched entries stay sparse. Drives
+    the same `accumulate_chunk` fold as `AccumulationVector`."""
+
+    def __init__(self, curve, vector: "AccumulationVector"):
+        self.curve = curve
+        self.state = vector
+
+    def __call__(self, scalars: list[int], offset: int = 0
+                 ) -> "SparseAccumulator":
+        self.state = self.state.accumulate_chunk(self.curve, scalars,
+                                                 offset)
+        return self
+
+    def result(self):
+        """(accumulated group element, remaining sparse rest)."""
+        return self.state.first, self.state.rest

@@ -211,3 +211,75 @@ def test_knowledge_commitment_batch_exp():
         assert k.h == CV.g1_mul(CURVE, h_base, s)
     v = KnowledgeCommitmentVector.from_dense([None] + kcs)
     assert v.to_dense()[0] is None and v.to_dense()[1] == kcs[0]
+
+
+def test_sparse_accumulator_streaming():
+    from crypto3_zk_tpu.utils.algebraic_engine import AlgebraicEngine
+    from crypto3_zk_tpu.utils.sparse_vector import (AccumulationVector,
+                                                    SparseAccumulator)
+    eng = AlgebraicEngine(11)
+    ic = [eng.g1(CURVE) for _ in range(5)]
+    av = AccumulationVector.from_dense(ic)
+    xs = [eng.field_element(CURVE.fr) for _ in range(4)]
+    acc = SparseAccumulator(CURVE, av)
+    acc(xs[:2], 0)
+    acc(xs[2:], 2)
+    got, rest = acc.result()
+    want = ic[0]
+    for pt, x in zip(ic[1:], xs):
+        want = CV.g1_add(CURVE, want, CV.g1_mul(CURVE, pt, x))
+    assert got == want and rest.indices == []
+
+
+def test_scheme_get_params_dump():
+    from crypto3_zk_tpu.commitments import fri as F
+    from crypto3_zk_tpu.commitments.lpc import LPCScheme
+    fs = CURVE.fr
+    params = F.FRIParams.build(fs, degree_log=4, expand_factor=2,
+                               lambda_=4, step_list=[1, 1, 1])
+    d = params.get_params()
+    assert d["lambda"] == 4 and d["step_list"] == [1, 1, 1]
+    scheme = LPCScheme(params)
+    ld = scheme.get_params()
+    assert ld["scheme"] == "lpc" and ld["domain_size"] == d["domain_size"]
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    import numpy as np
+    from crypto3_zk_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(3, arrays={"x": np.arange(5)}, meta={"stage": "ntt"})
+    mgr.save(7, meta={"stage": "msm"})
+    assert mgr.latest() == 7
+    arrays, meta = mgr.load(3)
+    assert meta["stage"] == "ntt" and list(arrays["x"]) == [0, 1, 2, 3, 4]
+    assert mgr.load(99) is None
+
+
+def test_msm_checkpoint_resume(tmp_path):
+    from crypto3_zk_tpu.ops.msm import msm_host
+    from crypto3_zk_tpu.utils.checkpoint import (CheckpointManager,
+                                                 msm_checkpointed)
+    rng = random.Random(0xC4)
+    n = 8
+    pts = [CV.g1_mul(CURVE, CURVE.g1, rng.randrange(1, CURVE.fr.p))
+           for _ in range(n)]
+    sc = [rng.randrange(CURVE.fr.p) for _ in range(n)]
+    out = msm_checkpointed(CURVE, pts, sc, str(tmp_path), c=8)
+    assert out == msm_host(CURVE, pts, sc)
+    # resume path: all windows checkpointed, second call replays from disk
+    out2 = msm_checkpointed(CURVE, pts, sc, str(tmp_path), c=8)
+    assert out2 == out
+
+
+def test_metrics_roofline():
+    from crypto3_zk_tpu.utils import metrics as MX
+    MX.reset()
+    muls, byts = MX.ntt_cost(1 << 20, 16)
+    r = MX.record("ntt_2^20", 0.1, muls, byts)
+    assert 0 < r.roofline_fraction
+    with MX.timed_kernel("noop"):
+        pass
+    s = MX.summary()
+    assert s[0]["kernel"] == "ntt_2^20" and len(s) == 2
+    MX.reset()
