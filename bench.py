@@ -30,11 +30,12 @@ def main():
 
     import numpy as np
     rng = np.random.default_rng(0)
-    # random residues (not reduced mod p exactly, but < 2^16 per limb is a
-    # valid representative set for throughput purposes: use 15-bit limbs to
-    # stay < p)
-    x = jax.numpy.asarray(
-        rng.integers(0, 1 << 15, size=(fs.nl, n), dtype=np.uint32))
+    # uniform full-width field elements: every limb uniform in [0, 2^16),
+    # top limb capped below p's top limb so all values stay < p
+    x_np = rng.integers(0, 1 << 16, size=(fs.nl, n), dtype=np.uint32)
+    top = int(fs.p >> (16 * (fs.nl - 1)))
+    x_np[fs.nl - 1] = rng.integers(0, top, size=(n,), dtype=np.uint32)
+    x = jax.numpy.asarray(x_np)
 
     # int8-MXU matmul NTT (ops/mxu_ntt.py): measured 4.1x the VPU
     # butterfly path on the same chip (9.5 vs 2.3 transforms/s @ 2^20)

@@ -201,7 +201,9 @@ def domain_index_of(d: Domain, x: int) -> int:
         if e != 1:
             j |= 1 << k
             cur = cur * pow(d.omega, (d.n - (1 << k)) % d.n, p) % p
-    assert pow(d.omega, j, p) == cur or True
+    # after stripping every bit, cur = x * w^{-j} must be exactly 1
+    assert cur == 1 and pow(d.omega, j, p) == x % p, \
+        "challenge point is not in the evaluation domain"
     return j
 
 

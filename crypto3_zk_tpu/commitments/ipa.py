@@ -66,7 +66,7 @@ class IPAProof:
 
 def setup(curve: PlainCurve, n: int,
           rng: random.Random | None = None) -> IPAParams:
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     p = curve.fr.p
     g = [CV.g1_mul(curve, curve.g1, rng.randrange(1, p)) for _ in range(n)]
     h = CV.g1_mul(curve, curve.g1, rng.randrange(1, p))
@@ -76,7 +76,7 @@ def setup(curve: PlainCurve, n: int,
 
 def commit(params: IPAParams, coeffs: list[int],
            rng: random.Random | None = None) -> IPACommitment:
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     curve = params.curve
     p = curve.fr.p
     assert len(coeffs) <= len(params.g)
@@ -99,7 +99,7 @@ def _sponge_point(t: PoseidonTranscript, fs, pt):
 def proof_eval(params: IPAParams, comm: IPACommitment, coeffs: list[int],
                z: int, rng: random.Random | None = None) -> tuple[IPAProof, int]:
     """Open f at z. Returns (proof, evaluation)."""
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     curve = params.curve
     p = curve.fr.p
     n = len(params.g)

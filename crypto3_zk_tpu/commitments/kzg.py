@@ -46,7 +46,7 @@ class KZGParams:
               tau: int | None = None,
               rng: random.Random | None = None,
               d2: int = 2) -> "KZGParams":
-        rng = rng or random.Random()
+        rng = rng if rng is not None else random.SystemRandom()
         tau = tau if tau is not None else rng.randrange(1, curve.fr.p)
         # powers of tau: tau^i * G1 (and tau^j * G2 for the batched verifier)
         ck = []
@@ -80,12 +80,18 @@ def g1_to_bytes(curve: CV.CurveSpec, pt) -> bytes:
 
 
 def g1_from_bytes(curve: CV.CurveSpec, data: bytes):
+    """Deserialize an UNTRUSTED G1 byte blob. Raises ValueError for points
+    not in the prime-order subgroup (invalid-curve attack gate; reference
+    verifiers reject via `is_well_formed()`)."""
     nb = (curve.fq.bits + 7) // 8
     x = int.from_bytes(data[:nb], "big")
     y = int.from_bytes(data[nb:2 * nb], "big")
     if x == 0 and y == 0:
         return None
-    return (x, y)
+    pt = (x, y)
+    if not CV.g1_well_formed(curve, pt):
+        raise ValueError("G1 point not in prime-order subgroup")
+    return pt
 
 
 # ---------------------------------------------------------------------------
@@ -115,6 +121,9 @@ def verify_eval_one(params: KZGParams, proof, commitment, z: int,
                     eval_v: int) -> bool:
     """e(pi, [tau - z]_2) * e([eval]_1 - C, [1]_2) == 1 (`kzg.hpp:183-206`)."""
     curve = params.curve
+    if not (CV.g1_well_formed(curve, proof)
+            and CV.g1_well_formed(curve, commitment)):
+        return False
     tau_minus_z = CV.g2_add(curve, params.verification_key[1],
                             CV.g2_neg(curve, CV.g2_mul(curve, curve.g2, z)))
     b1 = CV.g1_add(curve, CV.g1_mul(curve, curve.g1, eval_v),
@@ -237,6 +246,17 @@ class KZGSchemeV2(PolysEvaluator):
     def verify_eval(self, proof: KZGv2Proof,
                     commitments: dict[int, bytes],
                     transcript: Transcript) -> bool:
+        if not (CV.g1_well_formed(self.curve, proof.pi_1)
+                and CV.g1_well_formed(self.curve, proof.pi_2)):
+            return False
+        try:
+            return self._verify_eval(proof, commitments, transcript)
+        except ValueError:   # malformed commitment blob (off-curve point)
+            return False
+
+    def _verify_eval(self, proof: KZGv2Proof,
+                     commitments: dict[int, bytes],
+                     transcript: Transcript) -> bool:
         p = self.fs.p
         curve = self.curve
         self._z = proof.z
@@ -366,6 +386,16 @@ class KZGSchemeBDFG(PolysEvaluator):
     def verify_eval(self, proof: KZGBDFGProof,
                     commitments: dict[int, bytes],
                     transcript: Transcript) -> bool:
+        if not CV.g1_well_formed(self.curve, proof.pi):
+            return False
+        try:
+            return self._verify_eval(proof, commitments, transcript)
+        except ValueError:
+            return False
+
+    def _verify_eval(self, proof: KZGBDFGProof,
+                     commitments: dict[int, bytes],
+                     transcript: Transcript) -> bool:
         p = self.fs.p
         curve = self.curve
         self._z = proof.z

@@ -37,7 +37,7 @@ class PedersenProof:
 
 def key_generator(curve: CV.CurveSpec, n: int, k: int,
                   rng: random.Random | None = None) -> PedersenParams:
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     g = CV.g1_mul(curve, curve.g1, rng.randrange(1, curve.fr.p))
     h = g
     while h == g:
@@ -66,7 +66,7 @@ def _poly_eval(params: PedersenParams, coeffs: list[int]) -> list[int]:
 
 def proof_eval(params: PedersenParams, w: int,
                rng: random.Random | None = None) -> PedersenProof:
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     p = params.curve.fr.p
     t = rng.randrange(p)
     E_0 = commitment(params, PedersenPrivateKey(w, t))

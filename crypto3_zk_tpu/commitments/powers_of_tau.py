@@ -102,7 +102,7 @@ def compute_transcript(acc: Accumulator) -> bytes:
 
 def generate_private_key(curve: CV.CurveSpec,
                          rng: random.Random | None = None) -> PrivateKey:
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     return PrivateKey(rng.randrange(1, curve.fr.p),
                       rng.randrange(1, curve.fr.p),
                       rng.randrange(1, curve.fr.p))
@@ -144,7 +144,7 @@ def verify_eval(curve: CV.CurveSpec, public_key: PublicKey,
                 before: Accumulator, after: Accumulator,
                 rng: random.Random | None = None) -> bool:
     """`powers_of_tau.hpp:82-130`."""
-    rng = rng or random.Random(0xBEEF)
+    rng = rng if rng is not None else random.SystemRandom()
     transcript = compute_transcript(before)
     tau_g2_s = POK.compute_g2_s(curve, public_key.tau_pok.g1_s,
                                 public_key.tau_pok.g1_s_x, transcript,

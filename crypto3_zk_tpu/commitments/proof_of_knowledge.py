@@ -45,7 +45,7 @@ def compute_g2_s(curve: CV.CurveSpec, g1_s, g1_s_x,
 def proof_eval(curve: CV.CurveSpec, x: int, transcript: bytes,
                personalization: int,
                rng: random.Random | None = None) -> PoK:
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     s = rng.randrange(1, curve.fr.p)
     g1_s = CV.g1_mul(curve, curve.g1, s)
     g1_s_x = CV.g1_mul(curve, g1_s, x)

@@ -71,6 +71,7 @@ BLS12_381 = CurveSpec(
             0x0606C4A02EA734CC32ACD2B02BC28B99CB3E287E85A763AF267492AB572E99AB3F370D275CEC1DA1AAA9075FF05F79BE,
         ),
     ),
+    cofactor_g1=0x396C8C005555E1568C00AAAB0000AAAB,
 )
 
 ALT_BN128 = CurveSpec(
@@ -107,6 +108,79 @@ def g1_is_on_curve(c: CurveSpec, pt) -> bool:
     x, y = pt
     p = c.fq.p
     return (y * y - x * x * x - c.b) % p == 0
+
+
+def _mul_raw_g1(c: CurveSpec, a, k: int):
+    """Scalar mul WITHOUT reducing k mod r (g1_mul reduces, which would make
+    the r*P subgroup test vacuous)."""
+    out = None
+    add = a
+    while k:
+        if k & 1:
+            out = g1_add(c, out, add)
+        add = g1_add(c, add, add)
+        k >>= 1
+    return out
+
+
+def _mul_raw_g2(c: CurveSpec, a, k: int):
+    out = None
+    add = a
+    while k:
+        if k & 1:
+            out = g2_add(c, out, add)
+        add = g2_add(c, add, add)
+        k >>= 1
+    return out
+
+
+def g1_on_curve(c, pt) -> bool:
+    """Curve-equation check only (cheap); accepts MNT curves too."""
+    if pt is None:
+        return True
+    if _is_mnt(c):
+        # MNT4/6-298 G1 has prime order: y^2 = x^3 + a x + b over F_p.
+        x, y = pt
+        return (y * y - (x * x * x + c.a * x + c.b)) % c.p == 0
+    return g1_is_on_curve(c, pt)
+
+
+def g2_on_curve(c, pt) -> bool:
+    if pt is None:
+        return True
+    if _is_mnt(c):
+        x, y = pt
+        F = c.ext
+        rhs = F.add(F.mul(F.sqr(x), x),
+                    F.add(F.smul(x, c.a), F.embed(c.b)))
+        return F.sqr(y) == rhs
+    return g2_is_on_curve(c, pt)
+
+
+def g1_well_formed(c, pt) -> bool:
+    """On-curve + prime-order-subgroup membership for attacker-supplied G1
+    elements — the reference verifier's `proof.is_well_formed()` gate
+    (r1cs_gg_ppzksnark/verifier.hpp:164). Infinity is well-formed."""
+    if pt is None:
+        return True
+    if not g1_on_curve(c, pt):
+        return False
+    if _is_mnt(c) or c.cofactor_g1 == 1:
+        return True  # prime-order group: on-curve implies membership
+    return _mul_raw_g1(c, pt, c.fr.p) is None
+
+
+def g2_well_formed(c, pt) -> bool:
+    """On-twist + subgroup membership for attacker-supplied G2 elements
+    (invalid-curve attack gate). Infinity is well-formed."""
+    if pt is None:
+        return True
+    if not g2_on_curve(c, pt):
+        return False
+    if _is_mnt(c):
+        from . import mnt as _m
+        return _m.ext_mul_scalar(c, pt, c.r) is None
+    return _mul_raw_g2(c, pt, c.fr.p) is None
 
 
 def g1_add(c: CurveSpec, a, b):

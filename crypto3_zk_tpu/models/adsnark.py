@@ -100,7 +100,7 @@ class ADSNARKKeypair:
 
 def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem, n_auth: int,
              rng: random.Random | None = None):
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     kp = G16.generate(curve, cs, rng=rng)
     sig = sig_keygen(curve, rng)
     K = CV.g1_mul(curve, curve.g1, rng.randrange(1, curve.fr.p))
@@ -114,7 +114,7 @@ def auth_sign(pub: ADSNARKKeypair, auth: AuthKeys,
               rng: random.Random | None = None) -> list[AuthenticatedValue]:
     """The data authenticator MACs values under labels
     (`basic_policy` auth_eval)."""
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     curve = pub.groth16.vk.curve
     out = []
     for i, (label, v) in enumerate(zip(labels, values)):

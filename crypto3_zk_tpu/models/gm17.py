@@ -62,7 +62,7 @@ class Proof:
 
 def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
              rng: random.Random | None = None) -> Keypair:
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     fs = curve.fr
     p = fs.p
     while True:
@@ -114,7 +114,7 @@ def prove(pk: ProvingKey, primary: list[int], aux: list[int],
     curve = pk.curve
     fs = curve.fr
     p = fs.p
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     d1, d2, r = zk if zk is not None else (
         rng.randrange(p), rng.randrange(p), rng.randrange(p))
     wit = SAP.witness_map(fs, pk.constraint_system, primary, aux, d1, d2)
@@ -146,6 +146,10 @@ def prove(pk: ProvingKey, primary: list[int], aux: list[int],
 def verify(vk: VerificationKey, primary: list[int], proof: Proof) -> bool:
     curve = vk.curve
     assert len(vk.query) == len(primary) + 1
+    if not (CV.g1_well_formed(curve, proof.A)
+            and CV.g2_well_formed(curve, proof.B)
+            and CV.g1_well_formed(curve, proof.C)):
+        return False
     G_psi = vk.query[0]
     for i, x in enumerate(primary):
         G_psi = CV.g1_add(curve, G_psi, CV.g1_mul(curve, vk.query[i + 1], x))

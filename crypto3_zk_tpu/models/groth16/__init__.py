@@ -73,7 +73,7 @@ def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
              toxic: dict | None = None) -> Keypair:
     """`r1cs_gg_ppzksnark_generator::process` (generator.hpp:86-236,393).
     `toxic` allows deterministic test CRS ({t, alpha, beta, gamma, delta})."""
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     fs = curve.fr
     p = fs.p
     cs.swap_AB_if_beneficial()
@@ -163,7 +163,7 @@ def prove(pk: ProvingKey, primary: list[int], aux: list[int],
     curve = pk.curve
     fs = curve.fr
     p = fs.p
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     qap_wit = QAP.witness_map(fs, pk.constraint_system, primary, aux, 0, 0, 0)
     assert qap_wit.coefficients_for_H[qap_wit.degree - 1] == 0
     assert qap_wit.coefficients_for_H[qap_wit.degree] == 0
@@ -195,6 +195,12 @@ def verify(vk: VerificationKey, primary: list[int], proof: Proof) -> bool:
     138-187): e(A,B) * e(-acc,gamma) * e(-C,delta) == e(alpha,beta)."""
     curve = vk.curve
     assert len(vk.gamma_ABC_g1) >= len(primary) + 1
+    # is_well_formed gate (verifier.hpp:164): reject off-curve / wrong-
+    # subgroup proof points before they reach a pairing.
+    if not (CV.g1_well_formed(curve, proof.g_A)
+            and CV.g2_well_formed(curve, proof.g_B)
+            and CV.g1_well_formed(curve, proof.g_C)):
+        return False
     acc = vk.gamma_ABC_g1[0]
     for i, x in enumerate(primary):
         acc = CV.g1_add(curve, acc,

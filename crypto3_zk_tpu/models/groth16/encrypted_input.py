@@ -52,7 +52,7 @@ def generate_encrypted(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
                        rng: random.Random | None = None):
     """Coupled Groth16 + encryption keygen (the encryption key needs
     gamma/delta, as in SAVER)."""
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     p = curve.fr.p
     toxic = {k: rng.randrange(1, p)
              for k in ("t", "alpha", "beta", "gamma", "delta")}

@@ -174,7 +174,7 @@ def setup_fake_srs(curve: CV.CurveSpec, num_proofs: int,
                    rng: random.Random | None = None):
     """Generic SRS from two toxic scalars (`srs.hpp:148-151`) specialized
     for num_proofs (`srs.hpp:158-205`)."""
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     p = curve.fr.p
     alpha = rng.randrange(2, p)
     beta = rng.randrange(2, p)
@@ -603,7 +603,7 @@ def verify_aggregate_proof(v_srs: VerifierSRS, vk, public_inputs: list[list[int]
     """vk: Groth16 VerificationKey; public_inputs: per-proof primary inputs."""
     curve = v_srs.curve
     p = curve.fr.p
-    rng = rng or random.Random(0x5A5A)
+    rng = rng if rng is not None else random.SystemRandom()
 
     tr = Ipp2Transcript(curve, b"snarkpack")
     tr.write_domain_separator(b"random-r")

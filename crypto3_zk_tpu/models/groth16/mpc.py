@@ -49,7 +49,7 @@ def init_mpc(keypair: Keypair) -> MPCState:
 def contribute(state: MPCState, delta: int | None = None,
                rng: random.Random | None = None) -> MPCState:
     """Rescale the keypair by a fresh delta (`crs_operations.hpp:114`)."""
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     curve = state.keypair.pk.curve
     p = curve.fr.p
     delta = delta if delta is not None else rng.randrange(1, p)
@@ -105,14 +105,25 @@ def verify_contribution_chain(initial: Keypair, final: MPCState) -> bool:
     if not POK.is_same_ratio(curve, (initial.pk.delta_g1, fpk.delta_g1),
                              (initial.pk.delta_g2, fpk.delta_g2)):
         return False
-    # H/L queries rescaled by delta^{-1}: check a random element
-    rng = random.Random(0x13)
+    # H/L queries rescaled by delta^{-1}: random-linear-combination
+    # same-ratio check over the FULL vectors (detail::merge_pairs semantics)
+    # with fresh unpredictable coefficients — a single sampled index would
+    # let a malicious contributor corrupt the unchecked entries.
+    rng = random.SystemRandom()
     for (orig_q, new_q) in ((initial.pk.H_query, fpk.H_query),
                             (initial.pk.L_query, fpk.L_query)):
+        if len(orig_q) != len(new_q):
+            return False
         if not orig_q:
             continue
-        i = rng.randrange(len(orig_q))
-        if not POK.is_same_ratio(curve, (new_q[i], orig_q[i]),
+        coeffs = [rng.randrange(1, curve.fr.p) for _ in orig_q]
+        acc_new, acc_orig = None, None
+        for r_i, q_new, q_orig in zip(coeffs, new_q, orig_q):
+            acc_new = CV.g1_add(curve, acc_new,
+                                CV.g1_mul(curve, q_new, r_i))
+            acc_orig = CV.g1_add(curve, acc_orig,
+                                 CV.g1_mul(curve, q_orig, r_i))
+        if not POK.is_same_ratio(curve, (acc_new, acc_orig),
                                  (initial.pk.delta_g2, fpk.delta_g2)):
             return False
     return True

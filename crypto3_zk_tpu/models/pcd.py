@@ -75,7 +75,7 @@ def generator(curve: CV.CurveSpec,
               mode: str = "chain") -> PCDKeypair:
     """`r1cs_mp_ppzkpcd_generator`: one keypair per predicate ("chain"),
     or one per (predicate, cycle side) over MNT4/MNT6 ("cycle")."""
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     if mode == "cycle":
         from ..fields import mnt as MNT
         keys = {}

@@ -61,7 +61,7 @@ class Proof:
 def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
              rng: random.Random | None = None) -> Keypair:
     """`r1cs_ppzksnark_generator` (generator.hpp:95-230)."""
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     fs = curve.fr
     p = fs.p
     cs.swap_AB_if_beneficial()
@@ -116,7 +116,7 @@ def prove(pk: ProvingKey, primary: list[int], aux: list[int],
     curve = pk.curve
     fs = curve.fr
     p = fs.p
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     d1, d2, d3 = zk if zk is not None else (
         rng.randrange(p), rng.randrange(p), rng.randrange(p))
     wit = QAP.witness_map(fs, pk.constraint_system, primary, aux, d1, d2, d3)
@@ -159,6 +159,17 @@ def prove(pk: ProvingKey, primary: list[int], aux: list[int],
 def verify(vk: VerificationKey, primary: list[int], proof: Proof) -> bool:
     """`r1cs_ppzksnark_verifier_weak_input_consistency` (verifier.hpp:120-200)."""
     curve = vk.curve
+    # proof.is_well_formed() gate: g_B's knowledge commitment lives in
+    # (G2, G1); every other element in G1.
+    if not (CV.g1_well_formed(curve, proof.g_A.g)
+            and CV.g1_well_formed(curve, proof.g_A.h)
+            and CV.g2_well_formed(curve, proof.g_B.g)
+            and CV.g1_well_formed(curve, proof.g_B.h)
+            and CV.g1_well_formed(curve, proof.g_C.g)
+            and CV.g1_well_formed(curve, proof.g_C.h)
+            and CV.g1_well_formed(curve, proof.g_H)
+            and CV.g1_well_formed(curve, proof.g_K)):
+        return False
     acc = vk.encoded_IC_query[0]
     for i, x in enumerate(primary):
         acc = CV.g1_add(curve, acc,

@@ -52,7 +52,7 @@ class Proof:
 
 def generate(curve: CV.CurveSpec, cs: USCS.USCSConstraintSystem,
              rng: random.Random | None = None) -> Keypair:
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     fs = curve.fr
     p = fs.p
     t = rng.randrange(1, p)
@@ -84,7 +84,7 @@ def prove(pk: ProvingKey, primary: list[int], aux: list[int],
     curve = pk.curve
     fs = curve.fr
     p = fs.p
-    rng = rng or random.Random()
+    rng = rng if rng is not None else random.SystemRandom()
     d = zk_d if zk_d is not None else rng.randrange(p)
     wit = USCS.witness_map(fs, pk.constraint_system, primary, aux, d)
     nv, ninp = wit.num_variables, wit.num_inputs

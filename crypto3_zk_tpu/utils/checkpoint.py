@@ -30,6 +30,10 @@ class CheckpointManager:
             np.savez(npz + ".tmp.npz",
                      **{k: np.asarray(v) for k, v in arrays.items()})
             os.replace(npz + ".tmp.npz", npz)    # atomic publish
+        elif os.path.exists(npz):
+            # drop any stale array blob from a previous save at this step so
+            # load() can never pair old arrays with the new meta
+            os.remove(npz)
         with open(js + ".tmp", "w") as f:
             json.dump(meta or {}, f)
         os.replace(js + ".tmp", js)

@@ -90,11 +90,18 @@ class Reader:
         return [self.field(fs) for _ in range(self.u32())]
 
     def g1(self, curve: CV.CurveSpec):
+        """Deserialized points are validated on-curve (cheap). Full subgroup
+        membership of attacker-supplied proof elements is enforced again at
+        each verifier via `g1_well_formed` (verifier.hpp:164)."""
         nb = (curve.fq.bits + 7) // 8
         raw = self._take(2 * nb)
         x = int.from_bytes(raw[:nb], "big")
         y = int.from_bytes(raw[nb:], "big")
-        return None if x == 0 and y == 0 else (x, y)
+        if x == 0 and y == 0:
+            return None
+        if not CV.g1_on_curve(curve, (x, y)):
+            raise ValueError("deserialized G1 point is off-curve")
+        return (x, y)
 
     def g2(self, curve: CV.CurveSpec):
         nb = (curve.fq.bits + 7) // 8
@@ -103,7 +110,10 @@ class Reader:
                 for i in range(4)]
         if all(v == 0 for v in vals):
             return None
-        return ((vals[0], vals[1]), (vals[2], vals[3]))
+        pt = ((vals[0], vals[1]), (vals[2], vals[3]))
+        if not CV.g2_on_curve(curve, pt):
+            raise ValueError("deserialized G2 point is off-curve")
+        return pt
 
     def g1_vec(self, curve):
         return [self.g1(curve) for _ in range(self.u32())]
