@@ -66,6 +66,41 @@ def instance_map_with_evaluation(fs: FieldSpec, cs: R1CSConstraintSystem,
 
 
 @dataclasses.dataclass
+class QAPInstanceLagrange:
+    """Sparse Lagrange-basis QAP (`r1cs_to_qap.hpp::instance_map`): per
+    variable, the list of (lagrange_index, coefficient) pairs. This is what
+    a powers-of-tau ceremony consumer needs — the CRS is assembled from
+    [L_j(tau)]*G without ever knowing tau (`crs_operations.hpp:23-113`)."""
+    domain: Domain
+    num_variables: int
+    degree: int
+    num_inputs: int
+    A: list[list[tuple[int, int]]]
+    B: list[list[tuple[int, int]]]
+    C: list[list[tuple[int, int]]]
+
+
+def instance_map_lagrange(fs: FieldSpec,
+                          cs: R1CSConstraintSystem) -> QAPInstanceLagrange:
+    p = fs.p
+    domain = qap_domain(fs, cs)
+    nv = cs.num_variables
+    A = [[] for _ in range(nv + 1)]
+    B = [[] for _ in range(nv + 1)]
+    C = [[] for _ in range(nv + 1)]
+    for i in range(cs.num_inputs + 1):
+        A[i].append((cs.num_constraints + i, 1))
+    for i, cst in enumerate(cs.constraints):
+        for idx, coeff in cst.a.terms:
+            A[idx].append((i, coeff % p))
+        for idx, coeff in cst.b.terms:
+            B[idx].append((i, coeff % p))
+        for idx, coeff in cst.c.terms:
+            C[idx].append((i, coeff % p))
+    return QAPInstanceLagrange(domain, nv, domain.n, cs.num_inputs, A, B, C)
+
+
+@dataclasses.dataclass
 class QAPWitness:
     num_variables: int
     degree: int

@@ -194,6 +194,76 @@ def verify_eval(curve: CV.CurveSpec, public_key: PublicKey,
     return True
 
 
+@dataclasses.dataclass
+class Result:
+    """Ceremony output re-based to the Lagrange basis
+    (`detail/.../powers_of_tau/result.hpp:41-146`): everything a Groth16
+    CRS assembly needs, computed WITHOUT knowledge of tau."""
+    curve: CV.CurveSpec
+    m: int
+    alpha_g1: tuple
+    beta_g1: tuple
+    beta_g2: tuple
+    coeffs_g1: list        # [L_j(tau)] G1
+    coeffs_g2: list        # [L_j(tau)] G2
+    alpha_coeffs_g1: list  # [alpha L_j(tau)] G1
+    beta_coeffs_g1: list   # [beta L_j(tau)] G1
+    h: list                # [tau^i Z(tau)] G1, i < m-1
+
+
+def _group_ifft(curve: CV.CurveSpec, points, m: int, group: str):
+    """[L_j(tau)]G from [tau^i]G: an inverse NTT whose butterfly is
+    point-add / scalar-mul (`evaluate_all_lagrange_polynomials` over group
+    elements). Host Cooley-Tukey, O(m log m) scalar muls — ceremonies are
+    offline; production sizes would batch this through the device MSM."""
+    p = curve.fr.p
+    add = (lambda a, b: CV.g1_add(curve, a, b)) if group == "g1" \
+        else (lambda a, b: CV.g2_add(curve, a, b))
+    mul = (lambda a, k: CV.g1_mul(curve, a, k)) if group == "g1" \
+        else (lambda a, k: CV.g2_mul(curve, a, k))
+    from ..poly.domain import get_domain
+    dom = get_domain(curve.fr, m)
+    w_inv = dom.omega_inv
+
+    def rec(pts, wn):
+        n = len(pts)
+        if n == 1:
+            return list(pts)
+        ev = rec(pts[0::2], wn * wn % p)
+        od = rec(pts[1::2], wn * wn % p)
+        out = [None] * n
+        tw = 1
+        for k in range(n // 2):
+            t = mul(od[k], tw)
+            out[k] = add(ev[k], t)
+            out[k + n // 2] = add(ev[k], mul(t, p - 1))
+            tw = tw * wn % p
+        return out
+
+    vals = rec(list(points[:m]), w_inv)
+    m_inv = pow(m, -1, p)
+    return [mul(pt, m_inv) for pt in vals]
+
+
+def result_from_accumulator(acc: Accumulator, m: int) -> Result:
+    """`result.hpp:76-146 from_accumulator`. `m` must be a radix-2 domain
+    size with m <= acc.m; h[i] = [tau^i * Z(tau)]G1 = [tau^{i+m}] - [tau^i]
+    (Z = x^m - 1 for radix-2 domains, so only Z[0]=-1, Z[m]=1 survive the
+    reference's sparse loop)."""
+    c = acc.curve
+    assert m & (m - 1) == 0 and m <= acc.m
+    coeffs_g1 = _group_ifft(c, acc.tau_powers_g1, m, "g1")
+    coeffs_g2 = _group_ifft(c, acc.tau_powers_g2, m, "g2")
+    alpha_coeffs_g1 = _group_ifft(c, acc.alpha_tau_powers_g1, m, "g1")
+    beta_coeffs_g1 = _group_ifft(c, acc.beta_tau_powers_g1, m, "g1")
+    h = [CV.g1_add(c, acc.tau_powers_g1[i + m],
+                   CV.g1_neg(c, acc.tau_powers_g1[i]))
+         for i in range(m - 1)]
+    return Result(c, m, acc.alpha_tau_powers_g1[0], acc.beta_tau_powers_g1[0],
+                  acc.beta_g2, coeffs_g1, coeffs_g2, alpha_coeffs_g1,
+                  beta_coeffs_g1, h)
+
+
 def to_kzg_params(acc: Accumulator, d: int):
     """The tau ceremony IS the KZG SRS (`kzg.hpp` params)."""
     from .kzg import KZGParams

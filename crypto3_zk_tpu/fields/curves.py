@@ -407,6 +407,13 @@ def pairing(c: CurveSpec, p_g1, q_g2):
     return final_exponentiation(c, miller_loop(c, p_g1, q_g2))
 
 
+def gt_one(c: CurveSpec):
+    """GT identity element (for `== one` pairing-product checks)."""
+    if _is_mnt(c):
+        return c.ext.one()
+    return T.FQ12_ONE
+
+
 def multi_pairing(c: CurveSpec, pairs) -> tuple:
     if _is_mnt(c):
         from . import mnt as _m

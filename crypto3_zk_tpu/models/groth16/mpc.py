@@ -46,6 +46,62 @@ def init_mpc(keypair: Keypair) -> MPCState:
                     initial_delta_g1=keypair.pk.delta_g1)
 
 
+def keypair_from_ceremony(cs, result) -> Keypair:
+    """Assemble the initial (gamma = delta = 1) Groth16 keypair from a
+    powers-of-tau ceremony result — no toxic waste involved
+    (`detail/.../crs_operations.hpp:23-113 make_r1cs_gg_ppzksnark_keypair_
+    from_powers_of_tau`). Phase-2 `contribute` then randomizes delta."""
+    from ...arithmetization import qap as QAP
+
+    curve = result.curve
+    p = curve.fr.p
+    cs.swap_AB_if_beneficial()
+    qap = QAP.instance_map_lagrange(curve.fr, cs)
+    assert len(result.coeffs_g1) == qap.domain.n, \
+        "powers_of_tau result size does not match the constraint system"
+
+    nv = qap.num_variables
+    a_g1 = [None] * (nv + 1)
+    b_g1 = [None] * (nv + 1)
+    b_g2 = [None] * (nv + 1)
+    beta_a_alpha_b_c = [None] * (nv + 1)     # [beta A_i + alpha B_i + C_i]G1
+    for i in range(nv + 1):
+        for lag, coeff in qap.A[i]:
+            a_g1[i] = CV.g1_add(
+                curve, a_g1[i],
+                CV.g1_mul(curve, result.coeffs_g1[lag], coeff))
+            beta_a_alpha_b_c[i] = CV.g1_add(
+                curve, beta_a_alpha_b_c[i],
+                CV.g1_mul(curve, result.beta_coeffs_g1[lag], coeff))
+        for lag, coeff in qap.B[i]:
+            b_g1[i] = CV.g1_add(
+                curve, b_g1[i],
+                CV.g1_mul(curve, result.coeffs_g1[lag], coeff))
+            b_g2[i] = CV.g2_add(
+                curve, b_g2[i],
+                CV.g2_mul(curve, result.coeffs_g2[lag], coeff))
+            beta_a_alpha_b_c[i] = CV.g1_add(
+                curve, beta_a_alpha_b_c[i],
+                CV.g1_mul(curve, result.alpha_coeffs_g1[lag], coeff))
+        for lag, coeff in qap.C[i]:
+            beta_a_alpha_b_c[i] = CV.g1_add(
+                curve, beta_a_alpha_b_c[i],
+                CV.g1_mul(curve, result.coeffs_g1[lag], coeff))
+
+    H_query = result.h[: qap.degree - 1]
+    L_query = beta_a_alpha_b_c[qap.num_inputs + 1:]
+    gamma_ABC = beta_a_alpha_b_c[: qap.num_inputs + 1]
+
+    pk = ProvingKey(curve, cs, result.alpha_g1, result.beta_g1,
+                    result.beta_g2, curve.g1, curve.g2,
+                    a_g1, b_g1, b_g2, H_query, L_query)
+    vk = VerificationKey(curve,
+                         CV.pairing(curve, result.alpha_g1, result.beta_g2),
+                         curve.g2, curve.g2, gamma_ABC,
+                         alpha_g1=result.alpha_g1, beta_g2=result.beta_g2)
+    return Keypair(pk, vk)
+
+
 def contribute(state: MPCState, delta: int | None = None,
                rng: random.Random | None = None) -> MPCState:
     """Rescale the keypair by a fresh delta (`crs_operations.hpp:114`)."""

@@ -66,3 +66,41 @@ def test_groth16_mpc_phase2():
     forged.contributions[-1] = MPC.MPCPublicKey(
         CV.g1_mul(CURVE, CURVE.g1, 12345), forged.contributions[-1].pok)
     assert not MPC.verify_contribution_chain(kp0, forged)
+
+
+def test_ceremony_to_groth16_crs():
+    """contribute x2 -> verify chain -> result -> initial keypair ->
+    prove/verify -> phase-2 MPC -> prove/verify (mirrors the reference
+    pipeline `result.hpp:76` + `crs_operations.hpp:23` + mpc tests)."""
+    rng = random.Random(0x72)
+    from test_groth16 import power_chain_example
+    cs, primary, aux = power_chain_example(CURVE, 4)
+    # QAP domain: num_constraints(4) + num_inputs(1) + 1 -> 8
+    acc0 = POT.Accumulator(CURVE, 8)
+    acc, prev = acc0, acc0
+    pubs = []
+    for _ in range(2):
+        key = POT.generate_private_key(CURVE, rng)
+        pub = POT.proof_eval(CURVE, key, acc, rng)
+        nxt = acc.copy()
+        nxt.transform(key)
+        assert POT.verify_eval(CURVE, pub, acc, nxt, rng)
+        acc = nxt
+        pubs.append(pub)
+
+    result = POT.result_from_accumulator(acc, 8)
+    kp0 = MPC.keypair_from_ceremony(cs, result)
+
+    # the gamma = delta = 1 CRS proves and verifies
+    proof = G16.prove(kp0.pk, primary, aux, rng=rng)
+    assert G16.verify(kp0.vk, primary, proof)
+    assert not G16.verify(kp0.vk, [(primary[0] + 1) % CURVE.fr.p], proof)
+
+    # phase-2 MPC randomizes delta; chain verifies; proofs still verify
+    state = MPC.init_mpc(kp0)
+    state = MPC.contribute(state, rng=rng)
+    state = MPC.contribute(state, rng=rng)
+    assert MPC.verify_contribution_chain(kp0, state)
+    proof2 = G16.prove(state.keypair.pk, primary, aux, rng=rng)
+    assert G16.verify(state.keypair.vk, primary, proof2)
+    assert not G16.verify(kp0.vk, primary, proof2)

@@ -59,19 +59,45 @@ def test_adsnark_roundtrip():
     v1, v2 = 6, 7
     aux = [42]
     assert cs.is_satisfied(P, [v1, v2], aux)
-    pub, authk = AD.generate(CURVE, cs, n_auth=1, rng=rng)
-    authdata = AD.auth_sign(pub, authk, [b"sensor-1"], [v1], rng=rng)
-    proof = AD.prove(pub, [v1, v2], aux, rng=rng)
-    assert AD.verify_symmetric(pub, authk, authdata, [v2], proof)
-    # forged authenticated data rejected (bad signature)
-    forged = AD.AuthenticatedValue(
-        label=b"sensor-1",
-        D=CV.g1_add(CURVE, authdata[0].D, CURVE.g1),
-        sig=authdata[0].sig)
-    assert not AD.verify_symmetric(pub, authk, [forged], [v2], proof)
-    # data for a DIFFERENT value fails the proof equation
-    other = AD.auth_sign(pub, authk, [b"sensor-1"], [v1 + 1], rng=rng)
-    assert not AD.verify_symmetric(pub, authk, other, [v2], proof)
+    pub = AD.generate(CURVE, cs, n_auth=1, rng=rng)
+    sak, pak = AD.auth_generator(CURVE, rng=rng)
+    labels = [b"sensor-1"]
+    authdata = AD.auth_sign(CURVE, sak, labels, [v1], rng=rng)
+    # standalone data checks (both key flavors)
+    assert AD.auth_verify_symmetric(CURVE, sak, [v1], authdata)
+    assert AD.auth_verify_public(CURVE, pak, [v1], authdata)
+    assert not AD.auth_verify_symmetric(CURVE, sak, [v1 + 1], authdata)
+    assert not AD.auth_verify_public(CURVE, pak, [v1 + 1], authdata)
+
+    proof = AD.prove(pub, authdata, [v1, v2], aux, rng=rng)
+    # the SAME authenticated proof verifies symmetrically AND publicly
+    assert AD.verify_symmetric(pub, sak, labels, [v2], proof)
+    assert AD.verify_public(pub, pak, authdata, [v2], proof)
+
+    # tampered acc_auth (claims a different authenticated value) rejected
+    bad = AD.ADSNARKProof(
+        g16=proof.g16,
+        acc_auth=CV.g1_add(CURVE, proof.acc_auth,
+                           pub.groth16.vk.gamma_ABC_g1[1]),
+        muA=proof.muA)
+    assert not AD.verify_symmetric(pub, sak, labels, [v2], bad)
+    assert not AD.verify_public(pub, pak, authdata, [v2], bad)
+
+    # auth data for a DIFFERENT label (different Lambda) fails the public
+    # MAC pairing equation; note same-label/different-value data leaves
+    # Lambda unchanged by design — the value binding lives in muA.
+    other = AD.auth_sign(CURVE, sak, [b"sensor-X"], [v1], rng=rng)
+    assert not AD.verify_public(pub, pak, other, [v2], proof)
+
+    # forged Lambda (bad signature) rejected by the public verifier
+    forged = AD.AuthData(label=authdata[0].label, mu=authdata[0].mu,
+                         Lambda=CV.g2_add(CURVE, authdata[0].Lambda,
+                                          CURVE.g2),
+                         sig=authdata[0].sig)
+    assert not AD.verify_public(pub, pak, [forged], [v2], proof)
+
+    # wrong label -> symmetric verifier recomputes a different lambda
+    assert not AD.verify_symmetric(pub, sak, [b"sensor-X"], [v2], proof)
 
 
 def test_pickles_polish_token_and_alphas():
