@@ -174,18 +174,16 @@ def get_correct_order(x_index: int, domain_size: int, fri_step: int,
             ordered.append((base + ordered[j]) % domain_size)
         base //= 2
         prev_half <<= 1
+    lookup = {}
+    for pos, (a, b) in enumerate(s_indices):
+        lookup[(a, b)] = (pos, 0)
+        lookup.setdefault((b, a), (pos, 1))
     out = []
     for oi in ordered:
-        pi = get_paired_index(oi, domain_size)
-        for pos, (a, b) in enumerate(s_indices):
-            if (a, b) == (oi, pi):
-                out.append((pos, 0))
-                break
-            if (b, a) == (oi, pi):
-                out.append((pos, 1))
-                break
-        else:
+        key = (oi, get_paired_index(oi, domain_size))
+        if key not in lookup:
             raise AssertionError("order mismatch")
+        out.append(lookup[key])
     return out
 
 
@@ -340,15 +338,63 @@ def proof_eval(g: dict[int, list[PolyDFS]], combined_Q: PolyDFS,
         x = pow(c, (fs.p - 1) // params.D[0].n, fs.p)
         query_xs.append(domain_index_of(params.D[0], x))
 
-    # decode per-round value tables lazily per query (λ * coset * B scalars)
-    def dfs_value(poly: PolyDFS, pre_n: int, i: int) -> int:
-        return L.decode(fs, poly.v[..., i:i + 1])[0]
+    # --- batched value gathers ---------------------------------------------
+    # Serving λ queries with per-scalar L.decode calls costs λ×|coset|×B
+    # device→host round-trips; through the TPU tunnel those dominate the
+    # whole prover. The query phase of `basic_fri.hpp:675-930` is pure
+    # memory traffic, so gather every index all λ queries will touch in ONE
+    # device gather (+ one small host pull) per value table.
+    d0 = params.D[0].n
+    cosets0 = [coset_enum(xi % d0, params.step_list[0], d0)
+               for xi in query_xs]
+    need0 = sorted({j for cs in cosets0 for pair in cs for j in pair})
+    vals0: dict[int, list[dict[int, int]]] = {}
+    if need0:
+        idx0 = jnp.asarray(need0, dtype=jnp.int32)
+        for k, polys in g.items():
+            pre = precommitments[k]
+            got = jnp.transpose(jnp.take(pre.values, idx0, axis=-1),
+                                (1, 0, 2))            # (NL, B, K)
+            flat = L.decode(fs, got)                  # row-major over (B, K)
+            K = len(need0)
+            vals0[k] = [dict(zip(need0, flat[pi * K:(pi + 1) * K]))
+                        for pi in range(len(polys))]
+
+    # per-round folded-table needs across all queries
+    round_needs: list[set] = [set() for _ in params.step_list]
+    xi_rounds: list[list[int]] = []
+    for x_index0 in query_xs:
+        xi, t = x_index0, 0
+        per_round = []
+        for i, step in enumerate(params.step_list):
+            xi %= params.D[t].n
+            per_round.append(xi)
+            t += step
+            if i < len(params.step_list) - 1:
+                next_n = params.D[t].n
+                for pair in coset_enum(xi % next_n,
+                                       params.step_list[i + 1], next_n):
+                    round_needs[i].update(pair)
+        xi_rounds.append(per_round)
+
+    round_vals: list[dict[int, int]] = []
+    t = 0
+    for i, step in enumerate(params.step_list):
+        t += step
+        if i < len(params.step_list) - 1 and round_needs[i]:
+            next_n = params.D[t].n
+            fnext = fs_list[i + 1].resize(next_n)
+            need = sorted(round_needs[i])
+            got = jnp.take(fnext.v, jnp.asarray(need, dtype=jnp.int32),
+                           axis=-1)
+            round_vals.append(dict(zip(need, L.decode(fs, got))))
+        else:
+            round_vals.append({})
 
     query_proofs = []
-    for x_index0 in query_xs:
-        domain_size = params.D[0].n
-        x_index = x_index0
-        s_indices = coset_enum(x_index, params.step_list[0], domain_size)
+    for qi, x_index0 in enumerate(query_xs):
+        x_index = x_index0 % d0
+        s_indices = cosets0[qi]
 
         # initial proofs per batch
         initial_proof: dict[int, InitialProof] = {}
@@ -356,15 +402,10 @@ def proof_eval(g: dict[int, list[PolyDFS]], combined_Q: PolyDFS,
             pre = precommitments[k]
             vals = []
             for pi in range(len(polys)):
-                pv = []
-                for (i0, i1) in s_indices:
-                    lo, hi = min(i0, i1), max(i0, i1)
-                    y0 = L.decode(fs, pre.values[pi][..., lo:lo + 1])[0]
-                    y1 = L.decode(fs, pre.values[pi][..., hi:hi + 1])[0]
-                    pv.append((y0, y1))
-                vals.append(pv)
-            leaf_idx = get_folded_index(x_index, domain_size,
-                                        params.step_list[0])
+                tbl = vals0[k][pi]
+                vals.append([(tbl[min(i0, i1)], tbl[max(i0, i1)])
+                             for (i0, i1) in s_indices])
+            leaf_idx = get_folded_index(x_index, d0, params.step_list[0])
             initial_proof[k] = InitialProof(
                 values=vals, path=pre.tree.proof(leaf_idx),
                 leaf_index=leaf_idx)
@@ -372,10 +413,9 @@ def proof_eval(g: dict[int, list[PolyDFS]], combined_Q: PolyDFS,
         # round proofs
         round_proofs = []
         t = 0
-        xi = x_index
         for i, step in enumerate(params.step_list):
             dsize = params.D[t].n
-            xi %= dsize
+            xi = xi_rounds[qi][i]
             leaf_idx = get_folded_index(xi, dsize, step)
             pre_i = fri_trees[i]
             rp_path = pre_i.tree.proof(leaf_idx)
@@ -385,12 +425,9 @@ def proof_eval(g: dict[int, list[PolyDFS]], combined_Q: PolyDFS,
                 xi_next = xi % next_n
                 s_idx_next = coset_enum(xi_next, params.step_list[i + 1],
                                         next_n)
-                y = []
-                fnext = fs_list[i + 1].resize(next_n)
-                for (i0, i1) in s_idx_next:
-                    lo, hi = min(i0, i1), max(i0, i1)
-                    y.append((dfs_value(fnext, next_n, lo),
-                              dfs_value(fnext, next_n, hi)))
+                tbl = round_vals[i]
+                y = [(tbl[min(i0, i1)], tbl[max(i0, i1)])
+                     for (i0, i1) in s_idx_next]
             else:
                 dprev = params.D[t - 1]
                 xi_l = xi % dprev.n
