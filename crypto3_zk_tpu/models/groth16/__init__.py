@@ -139,20 +139,36 @@ def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
     return Keypair(pk, vk)
 
 
-def _msm_skip_inf(curve, bases, scalars, group="g1", use_device=True):
-    """MSM tolerating infinity bases / zero scalars (device MSM requires
-    affine non-inf points, so those pairs are filtered out host-side)."""
-    pairs = [(b, s % curve.fr.p) for b, s in zip(bases, scalars)
-             if b is not None and s % curve.fr.p != 0]
+def _msm_skip_inf(curve, bases, scalars, group="g1", use_device=True,
+                  bases_cache: dict | None = None, cache_key=None):
+    """MSM tolerating infinity bases / zero scalars. Device path: the
+    batched-affine one-program MSM (`ops/msm_affine.py`), with the encoded
+    bases cached per proving-key query vector so repeated proofs reuse the
+    device-resident tables (re-uploading 10^6 points per proof would
+    dominate wall-clock through the TPU tunnel)."""
+    from ...fields import mnt as MNT
+    p = curve.fr.p
+    if isinstance(curve, MNT.MNTCurve):
+        use_device = False        # MNT (a != 0) runs on the host scalar layer
+    if use_device and len(bases) >= 512:
+        from ...ops.msm_affine import MSMBases
+        if bases_cache is not None and cache_key in bases_cache:
+            mb = bases_cache[cache_key]
+        else:
+            mb = MSMBases(curve, bases, group)
+            if bases_cache is not None:
+                bases_cache[cache_key] = mb
+        return mb.run(list(scalars))
+    pairs = [(b, s % p) for b, s in zip(bases, scalars)
+             if b is not None and s % p != 0]
     if not pairs:
         return None
     pts = [b for b, _ in pairs]
     sc = [s for _, s in pairs]
-    from ...fields import mnt as MNT
-    if isinstance(curve, MNT.MNTCurve):
-        use_device = False        # MNT G1/G2 run on the host scalar layer
-    if use_device and len(pts) >= 32:
+    if use_device and len(pts) >= 32 and group == "g1":
         return msm(curve, pts, sc, c=8, group=group)
+    # small G2 MSMs stay host-side: below the 512-point affine-batch
+    # threshold the window-kernel compile cost dwarfs the work
     return msm_host(curve, pts, sc, group=group)
 
 
@@ -171,13 +187,22 @@ def prove(pk: ProvingKey, primary: list[int], aux: list[int],
     r, s = zk_rs if zk_rs is not None else (rng.randrange(p), rng.randrange(p))
     assignment = [1] + qap_wit.coefficients_for_ABCs
 
-    eval_At = _msm_skip_inf(curve, pk.A_query, assignment)
-    eval_Bt_g1 = _msm_skip_inf(curve, pk.B_query_g1, assignment)
-    eval_Bt_g2 = _msm_skip_inf(curve, pk.B_query_g2, assignment, group="g2")
+    cache = getattr(pk, "_msm_bases", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(pk, "_msm_bases", cache)
+    eval_At = _msm_skip_inf(curve, pk.A_query, assignment,
+                            bases_cache=cache, cache_key="A")
+    eval_Bt_g1 = _msm_skip_inf(curve, pk.B_query_g1, assignment,
+                               bases_cache=cache, cache_key="B1")
+    eval_Bt_g2 = _msm_skip_inf(curve, pk.B_query_g2, assignment, group="g2",
+                               bases_cache=cache, cache_key="B2")
     eval_Ht = _msm_skip_inf(curve, pk.H_query,
-                            qap_wit.coefficients_for_H[: qap_wit.degree - 1])
+                            qap_wit.coefficients_for_H[: qap_wit.degree - 1],
+                            bases_cache=cache, cache_key="H")
     eval_Lt = _msm_skip_inf(curve, pk.L_query,
-                            assignment[qap_wit.num_inputs + 1:])
+                            assignment[qap_wit.num_inputs + 1:],
+                            bases_cache=cache, cache_key="L")
 
     add, mul = (lambda a, b: CV.g1_add(curve, a, b)), \
         (lambda a, k: CV.g1_mul(curve, a, k))
