@@ -41,7 +41,7 @@ class FqOps:
         return L.mont_mul(self.fs, a, b)
 
     def sqr(self, a):
-        return L.mont_mul(self.fs, a, a)
+        return L.mont_sqr(self.fs, a)
 
     def neg(self, a):
         return L.neg(self.fs, a)

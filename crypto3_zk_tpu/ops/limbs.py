@@ -173,6 +173,70 @@ def select(mask, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # Montgomery multiplication (CIOS, 16-bit digits)
 # ---------------------------------------------------------------------------
 
+def _mont_mul_cols(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,
+                   square: bool = False) -> jnp.ndarray:
+    """Column-LIST lazy-carry CIOS: the same arithmetic as `mont_mul`'s
+    padded-tensor formulation but with each of the 2NL+1 columns as its own
+    (*batch) array and no pad/concat ops. ~NL x more HLO ops, but every op
+    is elementwise so XLA fuses the whole chain — measured 6.5x faster on
+    TPU v5e at (16, 2^20) (5.1 ms vs 33 ms; the padded form materializes
+    (2NL+1, batch) accumulators ~32x per mul, which is pure HBM traffic).
+    Used on accelerators; XLA:CPU keeps the small-graph padded form (its
+    compile time scales with op count: 80-300 s per point-math program).
+    `square=True` skips the duplicate cross products (a_i*a_j = a_j*a_i)."""
+    nl = fs.nl
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    A = [jnp.broadcast_to(a[i], bshape).astype(U32) for i in range(nl)]
+    B = A if square and a is b else \
+        [jnp.broadcast_to(b[j], bshape).astype(U32) for j in range(nl)]
+    width = 2 * nl + 1
+    t: list = [None] * width
+
+    def acc(k, v):
+        t[k] = v if t[k] is None else t[k] + v
+
+    if square and a is b:
+        for i in range(nl):
+            prod = A[i] * A[i]
+            acc(2 * i, prod & MASK)
+            acc(2 * i + 1, prod >> W)
+            for j in range(i + 1, nl):
+                prod = A[i] * B[j]
+                lo2 = (prod & MASK) << 1          # columns stay < 2^32:
+                hi2 = (prod >> W) << 1            # sums < 4*NL*2^17
+                acc(i + j, lo2)
+                acc(i + j + 1, hi2)
+    else:
+        for i in range(nl):
+            for j in range(nl):
+                prod = A[i] * B[j]
+                acc(i + j, prod & MASK)
+                acc(i + j + 1, prod >> W)
+    z = jnp.zeros(bshape, dtype=U32)
+    t = [z if x is None else x for x in t]
+
+    ninv = U32(fs.ninv16)
+    pl = [U32(int(x)) for x in fs.p_limbs]
+    for _ in range(nl):
+        m = (t[0] * ninv) & MASK
+        for j in range(nl):
+            mp = m * pl[j]
+            t[j] = t[j] + (mp & MASK)
+            t[j + 1] = t[j + 1] + (mp >> W)
+        carry0 = t[0] >> W
+        t = t[1:] + [z]
+        t[0] = t[0] + carry0
+
+    digits = []
+    c = jnp.uint32(0)
+    for j in range(nl):
+        v = t[j] + c
+        digits.append(v & MASK)
+        c = v >> W
+    top = t[nl] + c
+    return _join(_cond_sub_p(fs, digits, top))
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def mont_mul(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(aR)(bR)R^{-1} = abR mod p. Shapes broadcast over batch dims.
@@ -182,8 +246,11 @@ def mont_mul(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     stay < 4·NL·2^16 « 2^32), the NL Montgomery reduction steps each add
     m·p lazily and shift one column down (only column 0's carry is resolved,
     because m depends on it), and a single full carry sweep runs at the end.
-    ~8x fewer XLA ops than digit-serial CIOS and every op is a full-width
-    vector op over (NL, *batch)."""
+    Two formulations of the same arithmetic: accelerators take the
+    fused-elementwise column-list path (`_mont_mul_cols`), XLA:CPU the
+    small-graph padded-tensor path (see `_mont_mul_cols` docstring)."""
+    if jax.default_backend() != "cpu":
+        return _mont_mul_cols(fs, a, b)
     nl = fs.nl
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = jnp.broadcast_to(a, (nl,) + bshape).astype(U32)
@@ -227,7 +294,11 @@ def mont_mul(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _join(_cond_sub_p(fs, digits, top))
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def mont_sqr(fs: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    if jax.default_backend() != "cpu":
+        # squaring halves the schoolbook cross products
+        return _mont_mul_cols(fs, a, a, square=True)
     return mont_mul(fs, a, a)
 
 

@@ -219,27 +219,36 @@ def _pair_combine(ops, A, B, inv_den, aux):
 # device radix sort (1-bit LSD, 16 passes) + rank computation
 # ---------------------------------------------------------------------------
 
-def _radix_sort16(keys):
-    """Stable ascending sort of (N,) int32 keys in [0, 2^16); returns
-    (sorted_keys, perm). All passes run in one fori_loop (graph = 1 pass)."""
+def _bitonic_sort(keys):
+    """Ascending sort of (N,) int32 keys, N a power of two; returns
+    (sorted_keys, perm). Bitonic network where every compare-exchange
+    partner is fetched with two dynamic `jnp.roll`s + a select — TPU
+    scatters run ~1 element/cycle, so the classic LSD-radix scatter sort
+    costs ~75 ns/element/pass; rolls are contiguous copies and the whole
+    log²(N)/2-stage network runs as ONE fori_loop body (~10 ops)."""
     n = keys.shape[0]
     perm0 = jnp.arange(n, dtype=I32)
+    i = jnp.arange(n, dtype=I32)
+    ds, bs = [], []
+    for k in range(max(n.bit_length() - 1, 1)):
+        for j in range(k, -1, -1):
+            ds.append(1 << j)
+            bs.append(1 << (k + 1))
+    dtab = jnp.asarray(ds, I32)
+    btab = jnp.asarray(bs, I32)
 
-    def body(bit, carry):
-        k, p = carry
-        b = jnp.right_shift(k, bit) & 1
-        nz = 1 - b
-        zeros_incl = jnp.cumsum(nz, dtype=I32)
-        total0 = zeros_incl[-1]
-        pos0 = zeros_incl - nz                      # exclusive
-        ones_incl = jnp.cumsum(b, dtype=I32)
-        pos1 = total0 + ones_incl - b
-        pos = jnp.where(b == 1, pos1, pos0)
-        k2 = jnp.zeros_like(k).at[pos].set(k)
-        p2 = jnp.zeros_like(p).at[pos].set(p)
-        return (k2, p2)
+    def stage(s, carry):
+        key, ix = carry
+        d = dtab[s]
+        blk = btab[s]
+        lo = (i & d) == 0
+        pk = jnp.where(lo, jnp.roll(key, -d), jnp.roll(key, d))
+        px = jnp.where(lo, jnp.roll(ix, -d), jnp.roll(ix, d))
+        asc = (i & blk) == 0
+        take = jnp.where(asc == lo, pk < key, pk > key)
+        return (jnp.where(take, pk, key), jnp.where(take, px, ix))
 
-    return jax.lax.fori_loop(0, 16, body, (keys, perm0))
+    return jax.lax.fori_loop(0, len(ds), stage, (keys, perm0))
 
 
 def _ranks(sorted_keys):
@@ -419,7 +428,7 @@ def _msm_affine_program(ops, coords, scalar_limbs, schedule):
     def window(carry, sw):
         bucket0 = jnp.abs(sw)
         bucket0 = jnp.where(bucket0 == 0, _DEAD, bucket0)
-        keys, perm = _radix_sort16(bucket0)
+        keys, perm = _bitonic_sort(bucket0)
         rank = _ranks(keys)
         sign = (sw < 0).astype(I32)
         xs = _take(X, perm)

@@ -41,12 +41,35 @@ def test_distributed_intt_roundtrip(mesh):
 
 
 def test_distributed_msm_matches_single(mesh):
+    """2^12 points over the 8-device mesh: the whole MSM (local window
+    scans + all_gather + jac tree-reduce) is ONE shard_map program."""
     from crypto3_zk_tpu.fields import curves as CV
     from crypto3_zk_tpu.ops.msm import msm_host
     from crypto3_zk_tpu.parallel.msm import distributed_msm
     c = CV.ALT_BN128
     r = random.Random(123)
-    n = 32
+    n = 1 << 12
+    base, acc = [], None
+    for i in range(64):
+        acc = CV.g1_add(c, acc, c.g1)
+        base.append(acc)
+    sel = [r.randrange(64) for _ in range(n)]
+    pts = [base[j] for j in sel]
+    sc = [r.randrange(c.fr.p) for _ in range(n)]
+    sc[0] = 0
+    got = distributed_msm(c, pts, sc, mesh=mesh, c=8)
+    tot = sum(s * (j + 1) for j, s in zip(sel, sc)) % c.fr.p
+    assert got == CV.g1_mul(c, c.g1, tot)
+
+
+def test_distributed_msm_small_uneven(mesh):
+    """n smaller than the mesh wants (pads), legacy devices= signature."""
+    from crypto3_zk_tpu.fields import curves as CV
+    from crypto3_zk_tpu.ops.msm import msm_host
+    from crypto3_zk_tpu.parallel.msm import distributed_msm
+    c = CV.ALT_BN128
+    r = random.Random(321)
+    n = 33
     pts = [CV.g1_mul(c, c.g1, r.randrange(1, c.fr.p)) for _ in range(n)]
     sc = [r.randrange(c.fr.p) for _ in range(n)]
     got = distributed_msm(c, pts, sc, devices=jax.devices()[:4], c=8)
@@ -64,3 +87,24 @@ def test_config_builds():
     assert fp.lambda_ == 40 and fp.merkle_hash == "poseidon"
     pp = cfg.build_placeholder_params()
     assert pp.transcript_hash == "poseidon"
+
+
+def test_distributed_fri_precommit_matches_single(mesh):
+    """Sharded Poseidon leaf hashing + all_gather must reproduce the
+    single-chip precommit root and proofs bit-for-bit."""
+    from crypto3_zk_tpu.commitments import fri as FRI
+    from crypto3_zk_tpu.parallel.fri import distributed_precommit
+    from crypto3_zk_tpu.poly.polynomial import Poly
+
+    params = FRI.FRIParams.build(FS, degree_log=7, expand_factor=2,
+                                 lambda_=4, merkle_hash="poseidon")
+    D0 = params.D[0]
+    step = params.step_list[0]
+    from crypto3_zk_tpu.poly.polynomial import PolyDFS
+    polys = [PolyDFS.from_poly(
+        Poly.from_ints(FS, [rng.randrange(FS.p) for _ in range(1 << 7)]))
+        for _ in range(2)]
+    pre = distributed_precommit(polys, D0, step, params, mesh, "x")
+    ref = FRI.precommit(polys, D0, step, params)
+    assert pre.root() == ref.root()
+    assert pre.tree.proof(3) == ref.tree.proof(3)
