@@ -391,34 +391,45 @@ def proof_eval(g: dict[int, list[PolyDFS]], combined_Q: PolyDFS,
         else:
             round_vals.append({})
 
+    # batched Merkle paths: one gather-per-level per TREE instead of one
+    # scalar decode per (query, level)
+    init_leaf_idx = [get_folded_index(xi % d0, d0, params.step_list[0])
+                     for xi in query_xs]
+    init_paths = {k: precommitments[k].tree.proofs(init_leaf_idx)
+                  for k in g}
+    round_leaf_idx: list[list[int]] = []
+    t = 0
+    for i, step in enumerate(params.step_list):
+        dsize = params.D[t].n
+        round_leaf_idx.append([get_folded_index(xr[i], dsize, step)
+                               for xr in xi_rounds])
+        t += step
+    round_paths = [fri_trees[i].tree.proofs(round_leaf_idx[i])
+                   for i in range(len(params.step_list))]
+
     query_proofs = []
     for qi, x_index0 in enumerate(query_xs):
-        x_index = x_index0 % d0
         s_indices = cosets0[qi]
 
         # initial proofs per batch
         initial_proof: dict[int, InitialProof] = {}
         for k, polys in g.items():
-            pre = precommitments[k]
             vals = []
             for pi in range(len(polys)):
                 tbl = vals0[k][pi]
                 vals.append([(tbl[min(i0, i1)], tbl[max(i0, i1)])
                              for (i0, i1) in s_indices])
-            leaf_idx = get_folded_index(x_index, d0, params.step_list[0])
             initial_proof[k] = InitialProof(
-                values=vals, path=pre.tree.proof(leaf_idx),
-                leaf_index=leaf_idx)
+                values=vals, path=init_paths[k][qi],
+                leaf_index=init_leaf_idx[qi])
 
         # round proofs
         round_proofs = []
         t = 0
         for i, step in enumerate(params.step_list):
-            dsize = params.D[t].n
             xi = xi_rounds[qi][i]
-            leaf_idx = get_folded_index(xi, dsize, step)
-            pre_i = fri_trees[i]
-            rp_path = pre_i.tree.proof(leaf_idx)
+            leaf_idx = round_leaf_idx[i][qi]
+            rp_path = round_paths[i][qi]
             t += step
             if i < len(params.step_list) - 1:
                 next_n = params.D[t].n

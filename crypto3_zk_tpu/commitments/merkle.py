@@ -172,6 +172,32 @@ class MerkleTree:
             self.levels_dev = None
             self.levels_host_tail = None
 
+    @classmethod
+    def from_leaf_digests_dev(cls, hasher, digests: jnp.ndarray,
+                              ) -> "MerkleTree":
+        """Build from precomputed (NL, n_leaves) field leaf digests (e.g.
+        hashed shard-parallel by `parallel.fri.distributed_precommit`);
+        node levels run on device exactly as the standard constructor."""
+        assert hasher.kind == "field"
+        self = cls.__new__(cls)
+        self.hasher = hasher
+        self.levels_dev = [digests]
+        n = digests.shape[-1]
+        while n > max(1, _DEVICE_LEVEL_MIN):
+            cur = self.levels_dev[-1]
+            nxt = hasher.node_hash(cur[..., 0::2], cur[..., 1::2])
+            self.levels_dev.append(nxt)
+            n //= 2
+        from ..ops import limbs as _L
+        top = _L.decode(hasher.fs, self.levels_dev[-1])
+        self.levels_host_tail = [top]
+        while len(top) > 1:
+            top = [hasher.node_hash_host(top[i], top[i + 1])
+                   for i in range(0, len(top), 2)]
+            self.levels_host_tail.append(top)
+        self.levels_host = None
+        return self
+
     @property
     def n_leaves(self) -> int:
         if self.levels_dev is not None:
@@ -201,6 +227,29 @@ class MerkleTree:
             path.append(self._digest_at(lvl, idx ^ 1))
             idx //= 2
         return path
+
+    def proofs(self, indices: list[int]) -> list[list]:
+        """Batched `proof` for many leaves: ONE device gather + decode per
+        device level instead of one per (query, level) — serving λ=40 FRI
+        queries with scalar `_digest_at` pulls costs λ×levels round-trips
+        through the TPU tunnel."""
+        if self.levels_dev is None or not indices:
+            return [self.proof(i) for i in indices]
+        paths = [[] for _ in indices]
+        idxs = list(indices)
+        for lvl in range(self._num_levels() - 1):
+            if lvl < len(self.levels_dev) - 1:
+                sib = jnp.asarray([i ^ 1 for i in idxs], dtype=jnp.int32)
+                vals = L.decode(self.hasher.fs,
+                                jnp.take(self.levels_dev[lvl], sib, axis=-1))
+                for q, v in enumerate(vals):
+                    paths[q].append(v)
+            else:
+                tail = self.levels_host_tail[lvl - (len(self.levels_dev) - 1)]
+                for q, i in enumerate(idxs):
+                    paths[q].append(tail[i ^ 1])
+            idxs = [i // 2 for i in idxs]
+        return paths
 
     @staticmethod
     def validate(hasher, root, leaf_row: list[int], idx: int, path: list) -> bool:

@@ -249,35 +249,106 @@ def _four_step_twiddles(fs: FieldSpec, n: int, r: int, c: int,
 @functools.lru_cache(maxsize=None)
 def _four_step_tw_cached(fs: FieldSpec, n: int, r: int, c: int,
                          inverse: bool):
+    if n > (1 << 20):
+        # host object-int build is O(N) python bigint muls and the table is
+        # O(N) bytes to ship through the device tunnel — generate on device
+        return _four_step_tw_device(fs, n, r, c, inverse)
     return jnp.asarray(_four_step_twiddles(fs, n, r, c, inverse))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _tw_device_scan(fs: FieldSpec, step: jnp.ndarray, ones: jnp.ndarray,
+                    c: int) -> jnp.ndarray:
+    """(NL, R) Montgomery powers step[k2]=w_N^k2 -> (NL, R, C) table with
+    entry [k2, cc] = w_N^(cc*k2): a C-step geometric scan per row, run on
+    device (each step is one (NL, R) mont_mul)."""
+
+    def gen(cur, _):
+        return L.mont_mul(fs, cur, step), cur
+
+    _, cols = jax.lax.scan(gen, ones, None, length=c)   # (C, NL, R)
+    return jnp.transpose(cols, (1, 2, 0))
+
+
+def _four_step_tw_device(fs: FieldSpec, n: int, r: int, c: int,
+                         inverse: bool) -> jnp.ndarray:
+    p = fs.p
+    omega = fs.root_of_unity(n)
+    if inverse:
+        omega = pow(omega, -1, p)
+    pows, acc = [], 1
+    for _ in range(r):                       # host: only R bigint muls
+        pows.append(acc * fs.R % p)
+        acc = acc * omega % p
+    step = jnp.asarray(L.pack_ints(fs, pows))
+    ones = jnp.asarray(L.pack_ints(fs, [fs.R % p] * r))
+    return _tw_device_scan(fs, step, ones, c)
+
+
+# largest single-block transform: plane_bound = M * 127^2 * ND must stay
+# below int32 (M = 2^10, ND = 37 -> 6.1e8); and the (2ND-1, M, B) int32
+# accumulator of a block call is capped at ~2^29 bytes by chunking the batch
+_MAX_LOG_BLOCK = 10
+_ACC_BYTES_CAP = 1 << 29
+
+
+def _block_ntt_chunked(fs: FieldSpec, plan: MXUNttPlan,
+                       x: jnp.ndarray) -> jnp.ndarray:
+    """(NL, M, B) block transform with the batch axis chunked so the wide
+    int32 accumulator stays under _ACC_BYTES_CAP (at 2^24 a single call
+    would materialize a ~5 GB accumulator)."""
+    w = plan.w_digits_dev()
+    b = x.shape[2]
+    np_planes = 2 * plan.nd - 1
+    bmax = _ACC_BYTES_CAP // (np_planes * plan.m * 4)
+    bmax = 1 << max(bmax.bit_length() - 1, 9)
+    if b <= bmax:
+        return _block_ntt(fs, plan, x, w)
+    k = b // bmax
+    xr = jnp.moveaxis(x.reshape(fs.nl, plan.m, k, bmax), 2, 0)
+    out = jax.lax.map(lambda xc: _block_ntt(fs, plan, xc, w), xr)
+    return jnp.moveaxis(out, 0, 2).reshape(fs.nl, plan.m, b)
+
+
+def _ntt_axis1(fs: FieldSpec, x: jnp.ndarray, inverse: bool,
+               log_block: int | None = None) -> jnp.ndarray:
+    """(NL, M, B) -> (NL, M, B): natural-order NTT along axis 1. M <= 2^10
+    is one MXU block matmul; larger M recurses four-step (M = R * C, C the
+    block side), so any size reduces to int8 matmuls + twiddle mults."""
+    m = x.shape[1]
+    log_m = m.bit_length() - 1
+    if log_m <= _MAX_LOG_BLOCK and log_block is None:
+        plan = get_mxu_plan(fs, log_m, inverse)
+        return _block_ntt_chunked(fs, plan, x)
+    log_c = log_block if log_block is not None \
+        else min((log_m + 1) // 2, _MAX_LOG_BLOCK)
+    log_r = log_m - log_c
+    r, c = 1 << log_r, 1 << log_c
+    nl = fs.nl
+    b = x.shape[2]
+
+    tw = _four_step_tw_cached(fs, m, r, c, inverse)
+    # step 1: size-R transforms over rows (batch c*b)
+    a = _ntt_axis1(fs, x.reshape(nl, r, c * b), inverse)
+    # step 2: twiddle w_M^(cc * k2), broadcast over the caller batch
+    a = L.mont_mul(fs, a.reshape(nl, r, c, b), tw[..., None])
+    # steps 3+4: size-C transforms along c (batch r*b)
+    a = jnp.swapaxes(a, 1, 2)                       # (NL, C, R, B)
+    a = _ntt_axis1(fs, a.reshape(nl, c, r * b), inverse)
+    # output O[k1, k2] -> X[k1 * R + k2]
+    return a.reshape(nl, m, b)
 
 
 def ntt_mxu(fs: FieldSpec, x: jnp.ndarray, inverse: bool = False,
             log_block: int | None = None) -> jnp.ndarray:
     """(NL, N) -> (NL, N), natural order both ways, Montgomery form.
-    Four-step N = R * C with both factors done as MXU block matmuls.
+    Recursive four-step N = R * C with every factor an MXU block matmul.
     Matches `ops/ntt.py::ntt` bit-exactly (same 1/N scaling on inverse)."""
     n = x.shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    log_c = log_block if log_block is not None else (log_n + 1) // 2
-    log_r = log_n - log_c
-    r, c = 1 << log_r, 1 << log_c
-
-    plan_r = get_mxu_plan(fs, log_r, inverse)
-    plan_c = get_mxu_plan(fs, log_c, inverse)
-    tw = _four_step_tw_cached(fs, n, r, c, inverse)
-
-    a = x.reshape(fs.nl, r, c)
-    # step 1: size-R transforms along r (batch c)
-    blk = _block_ntt(fs, plan_r, a, plan_r.w_digits_dev())
-    # step 2: twiddle w_N^(c * k2)
-    blk = L.mont_mul(fs, blk, tw)
-    # steps 3+4: size-C transforms along c (batch k2)
-    blk = jnp.swapaxes(blk, 1, 2)                   # (NL, C, R)
-    blk = _block_ntt(fs, plan_c, blk, plan_c.w_digits_dev())
-    # output O[k1, k2] -> X[k1 * R + k2]
-    out = blk.reshape(fs.nl, n)
+    out = _ntt_axis1(fs, x.reshape(fs.nl, n, 1), inverse,
+                     log_block).reshape(fs.nl, n)
     if inverse:
         out = L.mont_mul(fs, out, L.const_mont(fs, pow(n, -1, fs.p),
                                                (1,)))

@@ -1,6 +1,7 @@
 """NTT and polynomial-module tests vs python-int oracles."""
 import random
 
+import numpy as np
 import pytest
 
 from crypto3_zk_tpu.fields import params as P
@@ -163,3 +164,21 @@ def test_mxu_ntt_matches_vpu():
     x = L.encode(FS, xs)
     assert L.decode(FS, ntt_mxu(FS, x)) == L.decode(FS, N.ntt(FS, x))
     assert L.decode(FS, ntt_mxu(FS, ntt_mxu(FS, x), inverse=True)) == xs
+
+
+def test_mxu_ntt_recursive_four_step():
+    """Deep recursion (the >2^20 code path) forced at toy size: log_block=1
+    makes the first factor 2^11 > the 2^10 block cap, so the size-R stage
+    itself four-steps. Also pins the device twiddle scan against the host
+    object-int builder."""
+    from crypto3_zk_tpu.ops import mxu_ntt as MX
+    FS = P.BLS12_381_FR
+    n = 1 << 12
+    xs = [rng.randrange(FS.p) for _ in range(n)]
+    x = L.encode(FS, xs)
+    got = MX.ntt_mxu(FS, x, log_block=1)
+    assert L.decode(FS, got) == L.decode(FS, N.ntt(FS, x))
+
+    host = MX._four_step_twiddles(FS, 1 << 10, 64, 16, False)
+    dev = MX._four_step_tw_device(FS, 1 << 10, 64, 16, False)
+    assert np.asarray(dev).tolist() == np.asarray(host).tolist()
