@@ -270,7 +270,7 @@ class ConstraintSystem:
     def sorted_lookup_columns_number(self) -> int:
         if not self.lookup_gates:
             return 0
-        return self.lookup_expressions_number() + self.lookup_options_number()
+        return self.lookup_constraints_number() + self.lookup_options_number()
 
     def lookup_options_number(self) -> int:
         return sum(len(t.lookup_options) for t in self.lookup_tables)

@@ -21,15 +21,18 @@ execution:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..fields.params import FieldSpec
 from ..ops import limbs as L
-from ..poly.domain import Domain, calculate_domain_set
+from ..poly.domain import Domain, calculate_domain_set, get_domain
 from ..poly.polynomial import Poly, PolyDFS
 from ..transcript.fiat_shamir import Transcript, field_to_bytes
+from ..utils import fusion as _fusion
 from .merkle import MerkleTree, make_hasher
 
 
@@ -255,14 +258,11 @@ def precommit(polys: list[PolyDFS], D: Domain, fri_step: int,
 # fold (fold_polynomial.hpp:68-93)
 # ---------------------------------------------------------------------------
 
-def fold_dfs(params: FRIParams, f: PolyDFS, alpha: int, D: Domain) -> PolyDFS:
-    """f_folded[i] = 2^-1 ((1 + α w^-i) f[i] + (1 - α w^-i) f[i + N/2]),
-    evals over the half-size domain."""
-    fs = params.fs
+def _fold_dfs_arr(fs, f: PolyDFS, alpha_arr, D: Domain) -> PolyDFS:
+    """fold with alpha as a (NL, 1) Montgomery array (traced input)."""
     f = f.resize(D.n)
     n = D.n
-    acc = L.mont_mul(fs, L.powers(fs, D.omega_inv, n // 2),
-                     L.const_mont(fs, alpha, (1,)))
+    acc = L.mont_mul(fs, L.powers(fs, D.omega_inv, n // 2), alpha_arr)
     one = L.ones_mont(fs, (n // 2,))
     a = f.v[..., : n // 2]
     b = f.v[..., n // 2:]
@@ -271,6 +271,24 @@ def fold_dfs(params: FRIParams, f: PolyDFS, alpha: int, D: Domain) -> PolyDFS:
     half_inv = L.const_mont(fs, pow(2, -1, fs.p), (1,))
     out = L.mont_mul(fs, L.add(fs, lo, hi), half_inv)
     return PolyDFS(fs, out, max(1, (f.deg + 1) // 2))
+
+
+def fold_dfs(params: FRIParams, f: PolyDFS, alpha: int, D: Domain) -> PolyDFS:
+    """f_folded[i] = 2^-1 ((1 + α w^-i) f[i] + (1 - α w^-i) f[i + N/2]),
+    evals over the half-size domain."""
+    fs = params.fs
+    return _fold_dfs_arr(fs, f, L.const_mont(fs, alpha, (1,)), D)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _fold_round_program(fs, f: PolyDFS, d0_n: int, steps: int, alphas_arr):
+    """All `steps` folds of one FRI round in ONE compiled program; the step
+    alphas (drawn back-to-back, nothing else touches the transcript) enter
+    as a traced (NL, steps) array."""
+    for i in range(steps):
+        D = get_domain(fs, d0_n >> i)
+        f = _fold_dfs_arr(fs, f, alphas_arr[:, i:i + 1], D)
+    return f
 
 
 # ---------------------------------------------------------------------------
@@ -310,11 +328,16 @@ def proof_eval(g: dict[int, list[PolyDFS]], combined_Q: PolyDFS,
         root = precommitment.root()
         fri_roots.append(root)
         absorb_root(transcript, params, root)
-        for _ in range(step):
-            alpha = transcript.challenge(fs)
-            alphas.append(alpha)
-            f = fold_dfs(params, f, alpha, params.D[t])
-            t += 1
+        step_alphas = [transcript.challenge(fs) for _ in range(step)]
+        alphas.extend(step_alphas)
+        if _fusion.fused_phases_enabled():
+            f = _fold_round_program(fs, f, params.D[t].n, step,
+                                    L.encode(fs, step_alphas))
+            t += step
+        else:
+            for alpha in step_alphas:
+                f = fold_dfs(params, f, alpha, params.D[t])
+                t += 1
         if i != len(params.step_list) - 1:
             precommitment = precommit([f], params.D[t],
                                       params.step_list[i + 1], params)

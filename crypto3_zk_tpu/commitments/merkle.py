@@ -16,6 +16,9 @@ root and the queried authentication paths are ever decoded to host.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..fields.params import FieldSpec
@@ -114,6 +117,43 @@ class ByteHasher:
 _DEVICE_LEVEL_MIN = 128  # below this, host hashing beats XLA recompiles
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _field_tree_program(pp, fs, rows):
+    """(k, NL, n) leaf rows -> tuple of level digest planes ((NL, n),
+    (NL, n/2), ... down to _DEVICE_LEVEL_MIN): the leaf sponge AND every
+    node level in ONE compiled program — the per-level `hash2_batch`
+    dispatch chain costs one device round-trip (and one first-compile)
+    per distinct level shape through the TPU tunnel."""
+    k, _, n = rows.shape
+    state = L.zeros(fs, (3, n))
+    for i in range(0, k, 2):
+        s0 = L.add(fs, state[:, 0], rows[i])
+        s1 = state[:, 1]
+        if i + 1 < k:
+            s1 = L.add(fs, s1, rows[i + 1])
+        state = jnp.stack([s0, s1, state[:, 2]], axis=1)
+        state = PO.permute_batch(pp, state)
+    levels = [state[:, 0]]
+    while n > max(1, _DEVICE_LEVEL_MIN):
+        cur = levels[-1]
+        levels.append(PO.hash2_batch(pp, cur[..., 0::2], cur[..., 1::2]))
+        n //= 2
+    return tuple(levels)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _field_levels_program(pp, digests):
+    """(NL, n) leaf digests -> all node levels in one program (used when
+    leaves were hashed elsewhere, e.g. shard-parallel)."""
+    levels = [digests]
+    n = digests.shape[-1]
+    while n > max(1, _DEVICE_LEVEL_MIN):
+        cur = levels[-1]
+        levels.append(PO.hash2_batch(pp, cur[..., 0::2], cur[..., 1::2]))
+        n //= 2
+    return tuple(levels)
+
+
 class MerkleTree:
     """Built from leaf ROWS of field elements (each row = one leaf).
 
@@ -127,15 +167,9 @@ class MerkleTree:
         self.hasher = hasher
         if (hasher.kind == "field" and leaf_rows_dev is not None
                 and leaf_rows_dev.shape[-1] >= _DEVICE_LEVEL_MIN):
-            # leaf_rows_dev: (k, NL, n_leaves)
-            digests = hasher.leaf_hash_rows(leaf_rows_dev)
-            self.levels_dev = [digests]
-            n = digests.shape[-1]
-            while n > max(1, _DEVICE_LEVEL_MIN):
-                cur = self.levels_dev[-1]
-                nxt = hasher.node_hash(cur[..., 0::2], cur[..., 1::2])
-                self.levels_dev.append(nxt)
-                n //= 2
+            # leaf_rows_dev: (k, NL, n_leaves); sponge + levels fused
+            self.levels_dev = list(_field_tree_program(
+                hasher.pp, hasher.fs, leaf_rows_dev))
             # finish on host
             from ..ops import limbs as _L
             top = _L.decode(hasher.fs, self.levels_dev[-1])
@@ -181,13 +215,7 @@ class MerkleTree:
         assert hasher.kind == "field"
         self = cls.__new__(cls)
         self.hasher = hasher
-        self.levels_dev = [digests]
-        n = digests.shape[-1]
-        while n > max(1, _DEVICE_LEVEL_MIN):
-            cur = self.levels_dev[-1]
-            nxt = hasher.node_hash(cur[..., 0::2], cur[..., 1::2])
-            self.levels_dev.append(nxt)
-            n //= 2
+        self.levels_dev = list(_field_levels_program(hasher.pp, digests))
         from ..ops import limbs as _L
         top = _L.decode(hasher.fs, self.levels_dev[-1])
         self.levels_host_tail = [top]

@@ -12,6 +12,9 @@
 from __future__ import annotations
 
 import dataclasses
+import functools
+
+import jax
 
 from ...arithmetization import plonk as PK
 from ...ops import limbs as L
@@ -19,6 +22,16 @@ from ...poly.polynomial import PolyDFS, polynomial_product
 from ...transcript.fiat_shamir import Transcript
 from . import common as C
 from .preprocessor import CommonData, PublicPreprocessedData
+
+
+def _challenge_arr(fs, c: int):
+    """Host-encode a Fiat-Shamir challenge as a (NL, 1) Montgomery array so
+    fused phase programs take it as a traced INPUT (baking the int would
+    recompile the phase every proof)."""
+    return L.encode(fs, [c])
+
+
+from ...utils.fusion import fused_phases_enabled  # noqa: F401 (re-export)
 
 
 class PolynomialTable:
@@ -57,6 +70,42 @@ class PermutationProverResult:
     permutation_poly_parts: list[PolyDFS]   # V_P (+ partition products)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _perm_phase_single(fs, cols, s_id, s_sigma, beta, gamma,
+                       q_last, q_blind, lagrange_0):
+    """permutation_parts == 1 prover phase as ONE compiled program
+    (`permutation_argument.hpp:70-224`): randomized id/sigma chains, grand
+    product V_P (batched inverse + log-depth exclusive prefix), partition
+    products, F[0..2]. cols/s_id/s_sigma are PolyDFS pytrees; beta/gamma
+    are (NL, 1) Montgomery challenge arrays."""
+    n = cols[0].n
+    g_list, h_list = [], []
+    for sid, ssig, col in zip(s_id, s_sigma, cols):
+        gv = L.add(fs, L.add(fs, L.mont_mul(fs, sid.v, beta),
+                             gamma), col.v)
+        hv = L.add(fs, L.add(fs, L.mont_mul(fs, ssig.v, beta),
+                             gamma), col.v)
+        g_list.append(PolyDFS(fs, gv, n))
+        h_list.append(PolyDFS(fs, hv, n))
+
+    nom = g_list[0].v
+    den = h_list[0].v
+    for i in range(1, len(g_list)):
+        nom = L.mont_mul(fs, nom, g_list[i].v)
+        den = L.mont_mul(fs, den, h_list[i].v)
+    ratio = L.mont_mul(fs, nom, L.batch_inverse(fs, den, axis=1))
+    V_P = PolyDFS(fs, L.prefix_product_exclusive(fs, ratio, axis=1), n)
+
+    g = polynomial_product(list(g_list))
+    h = polynomial_product(list(h_list))
+    one_poly = PolyDFS.constant(fs, 1, n)
+    V_P_shifted = V_P.shift(1)
+    F0 = (one_poly - V_P) * lagrange_0
+    F1 = (one_poly - q_last - q_blind) * (V_P_shifted * h - V_P * g)
+    F2 = (V_P - one_poly) * V_P * q_last
+    return V_P, F0, F1, F2
+
+
 def _reduce_dfs_domain(poly: PolyDFS, new_n: int) -> PolyDFS:
     """Stride-sample evals down to the subgroup of size new_n
     (`permutation_argument.hpp` reduce_dfs_polynomial_domain)."""
@@ -84,6 +133,22 @@ def permutation_prove_eval(
 
     beta = transcript.challenge(fs)
     gamma = transcript.challenge(fs)
+
+    from .preprocessor import lagrange_polynomial
+
+    if (common.permutation_parts == 1 and len(S_id) > 0
+            and fused_phases_enabled()):
+        # fused one-program path (challenges enter as traced arrays)
+        cols = [table.by_global_index(desc, gi) for gi in global_indices]
+        lagrange_0 = lagrange_polynomial(fs, common.basic_domain, 0)
+        V_P, F0, F1, F2 = _perm_phase_single(
+            fs, cols, list(S_id), list(S_sigma),
+            _challenge_arr(fs, beta), _challenge_arr(fs, gamma),
+            preprocessed.q_last, preprocessed.q_blind, lagrange_0)
+        commitment_scheme.append_to_batch(C.PERMUTATION_BATCH, V_P)
+        # transcript parity with the reference: parts-1 == 0 alphas drawn
+        return PermutationProverResult(F_dfs=[F0, F1, F2],
+                                       permutation_poly_parts=[V_P])
 
     g_v: list[PolyDFS] = []
     h_v: list[PolyDFS] = []
@@ -240,6 +305,69 @@ def permutation_verify_eval(
 # gates argument
 # ---------------------------------------------------------------------------
 
+def _gates_structure(constraint_system: PK.ConstraintSystem,
+                     max_gates_degree: int):
+    """Static (hashable) degree-bucket layout: per bucket, a tuple of
+    (selector_index, ((constraint_expr, theta_power_index), ...)) in the
+    reference's theta enumeration order (`gates_argument.hpp:147-196`)."""
+    max_degree = 1 << (max_gates_degree - 1).bit_length()
+    degree_limits = [max_degree, max_degree // 2]
+    buckets: list[list] = [[], []]
+    theta_idx = 0
+    for gate in constraint_system.gates:
+        gate_terms: list[list] = [[], []]
+        for constraint in gate.constraints:
+            cdeg = PK.expr_max_degree(constraint) + 1
+            for i in range(len(degree_limits) - 1, -1, -1):
+                if degree_limits[i] >= cdeg or i == 0:
+                    gate_terms[i].append((constraint, theta_idx))
+                    break
+            theta_idx += 1
+        for i in range(2):
+            if gate_terms[i]:
+                buckets[i].append((gate.selector_index,
+                                   tuple(gate_terms[i])))
+    return tuple(tuple(b) for b in buckets), theta_idx
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _gates_phase(fs, structure, witnesses, public_inputs, constants,
+                 selectors, theta_pows, mask_polynomial):
+    """Fused gates-argument program: every constraint evaluated over the
+    (rotated) column polynomials, theta-weighted (powers enter as a traced
+    (NL, T) array), selector-masked, summed — one compiled program per
+    circuit instead of one dispatch per AST node."""
+    table = PolynomialTable(witnesses, public_inputs, constants, selectors)
+    n = witnesses[0].n if witnesses else selectors[0].n
+    var_cache: dict = {}
+
+    def var_fn(v: PK.Var):
+        if v not in var_cache:
+            poly = table.by_type(v.type, v.index)
+            if v.rotation != 0:
+                poly = poly.shift(v.rotation)
+            var_cache[v] = poly
+        return var_cache[v]
+
+    F = PolyDFS.constant(fs, 0, n)
+    for bucket in structure:
+        val = None
+        expr_cache: dict = {}
+        for sel_idx, terms in bucket:
+            acc = None
+            for constraint, t_idx in terms:
+                cv = PK.evaluate_expr(constraint, var_fn,
+                                      lambda c: PolyDFS.constant(fs, c, 1),
+                                      _cache=expr_cache)
+                cv = cv.scale_arr(theta_pows[:, t_idx:t_idx + 1])
+                acc = cv if acc is None else acc + cv
+            ge = acc * table.selectors[sel_idx]
+            val = ge if val is None else val + ge
+        if val is not None:
+            F = F + val
+    return F * mask_polynomial
+
+
 def gates_prove_eval(params: C.PlaceholderParams,
                      constraint_system: PK.ConstraintSystem,
                      table: PolynomialTable,
@@ -253,6 +381,19 @@ def gates_prove_eval(params: C.PlaceholderParams,
     fs = params.fs
     max_gates_degree += 1  # selector multiplication
     theta = transcript.challenge(fs)
+
+    if fused_phases_enabled():
+        structure, n_theta = _gates_structure(constraint_system,
+                                              max_gates_degree)
+        pows, acc = [], 1
+        for _ in range(max(n_theta, 1)):
+            pows.append(acc)
+            acc = acc * theta % fs.p
+        theta_pows = L.encode(fs, pows)
+        return _gates_phase(fs, structure, tuple(table.witnesses),
+                            tuple(table.public_inputs),
+                            tuple(table.constants), tuple(table.selectors),
+                            theta_pows, mask_polynomial)
 
     max_degree = 1 << (max_gates_degree - 1).bit_length()
     degree_limits = [max_degree, max_degree // 2]

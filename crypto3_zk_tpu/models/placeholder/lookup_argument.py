@@ -84,8 +84,13 @@ def _sort_polynomials(fs, reduced_input: list[list[int]],
             sorting_map[col[j]] = sorting_map.get(col[j], 0) + 1
     for col in reduced_input:
         for j in range(usable_rows):
-            assert col[j] in sorting_map, "lookup input not in table"
-            sorting_map[col[j]] += 1
+            # A non-member input (dishonest witness) gets count without a
+            # table occurrence: it is never emitted below, so the sorted
+            # columns fail the h/g telescoping identity and the verifier
+            # rejects the proof — the prover must not crash (the
+            # reference's negative suites feed such proofs to the
+            # verifier, `placeholder.cpp:788-927`).
+            sorting_map[col[j]] = sorting_map.get(col[j], 0) + 1
 
     n_sorted = len(reduced_input) + len(reduced_value)
     sorted_cols = [[0] * domain_size for _ in range(n_sorted)]

@@ -10,6 +10,9 @@ same commitment/transcript order:
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ...arithmetization import plonk as PK
@@ -19,14 +22,44 @@ from ...poly.polynomial import PolyDFS, polynomial_sum
 from ...transcript.fiat_shamir import Transcript
 from ...transcript.poseidon_transcript import make_transcript
 from . import common as C
-from .arguments import (PolynomialTable, gates_prove_eval,
-                        permutation_prove_eval)
+from .arguments import (PolynomialTable, fused_phases_enabled,
+                        gates_prove_eval, permutation_prove_eval)
 from .preprocessor import (PrivatePreprocessedData, PublicPreprocessedData,
                            _absorb_commitment, lookup_parts_list)
 
 
 def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _quotient_phase(fs, F_dfs, n, n_chunks_real, split_size, alphas_arr):
+    """Fused quotient program (`prover.hpp:219-266`): alpha-weighted F sum,
+    coefficient conversion, division by Z = x^n - 1, chunk split + re-FFT —
+    one compiled program per circuit; the 8 alphas enter as a traced
+    (NL, 8) array."""
+    from ...poly.domain import get_domain
+
+    parts = [F_dfs[i].scale_arr(alphas_arr[:, i:i + 1])
+             for i in range(len(F_dfs))]
+    F_cons = polynomial_sum(parts)
+    f_coeffs = F_cons.coefficients()
+    m = _next_pow2(max(f_coeffs.n + 1, 2 * n))
+    padded = jnp.pad(f_coeffs.c, ((0, 0), (0, m - f_coeffs.n)))
+    T_coeffs = N.divide_by_vanishing(fs, padded, n)
+
+    d = get_domain(fs, n)
+    chunks = []
+    for k in range(split_size):
+        if k < n_chunks_real and (k + 1) * n <= T_coeffs.shape[-1]:
+            chunk = T_coeffs[..., k * n:(k + 1) * n]
+        elif k < n_chunks_real:
+            chunk = jnp.pad(T_coeffs[..., k * n:],
+                            ((0, 0), (0, (k + 1) * n - T_coeffs.shape[-1])))
+        else:
+            chunk = L.zeros(fs, (n,))
+        chunks.append(PolyDFS(fs, d.fft(chunk), n))
+    return tuple(chunks)
 
 
 def generate_evaluation_points(scheme, common, constraint_system: PK.ConstraintSystem,
@@ -151,16 +184,9 @@ def prove(params: C.PlaceholderParams,
 
     # 7. quotient polynomial
     alphas = transcript.challenges(fs, C.F_PARTS)
-    parts = [F_dfs[i].scale(alphas[i]) for i in range(C.F_PARTS)]
-    F_cons = polynomial_sum(parts)
-    # pad coefficient form to a power of two > n and divide by Z = x^n - 1
-    f_coeffs = F_cons.coefficients()
-    m = _next_pow2(max(f_coeffs.n + 1, 2 * n))
-    padded = jnp.pad(f_coeffs.c, ((0, 0), (0, m - f_coeffs.n)))
-    T_coeffs = N.divide_by_vanishing(fs, padded, n)
-
-    # split into chunks of n coefficients (`detail::split_polynomial`)
-    t_deg_bound = max(f_coeffs.n - n, 1)
+    # static chunk geometry (`detail::split_polynomial`)
+    f_deg = max(pl.deg for pl in F_dfs)
+    t_deg_bound = max(f_deg - n, 1)
     n_chunks_real = -(-t_deg_bound // n)
     split_size = max(
         (len(preprocessed_public.identity_polynomials) + 2) * (n - 1),
@@ -170,17 +196,29 @@ def prove(params: C.PlaceholderParams,
     if common.max_quotient_chunks != 0 \
             and split_size > common.max_quotient_chunks:
         split_size = common.max_quotient_chunks
-    T_chunks: list[PolyDFS] = []
-    for k in range(split_size):
-        if k < n_chunks_real and (k + 1) * n <= T_coeffs.shape[-1]:
-            chunk = T_coeffs[..., k * n:(k + 1) * n]
-        elif k < n_chunks_real:
-            chunk = jnp.pad(T_coeffs[..., k * n:],
-                            ((0, 0), (0, (k + 1) * n - T_coeffs.shape[-1])))
-        else:
-            chunk = L.zeros(fs, (n,))
-        d = common.basic_domain
-        T_chunks.append(PolyDFS(fs, d.fft(chunk), n))
+    if fused_phases_enabled():
+        T_chunks = list(_quotient_phase(fs, tuple(F_dfs), n, n_chunks_real,
+                                        split_size, L.encode(fs, alphas)))
+    else:
+        parts = [F_dfs[i].scale(alphas[i]) for i in range(C.F_PARTS)]
+        F_cons = polynomial_sum(parts)
+        # pad coefficient form to a power of two > n, divide by Z = x^n - 1
+        f_coeffs = F_cons.coefficients()
+        m = _next_pow2(max(f_coeffs.n + 1, 2 * n))
+        padded = jnp.pad(f_coeffs.c, ((0, 0), (0, m - f_coeffs.n)))
+        T_coeffs = N.divide_by_vanishing(fs, padded, n)
+        T_chunks = []
+        for k in range(split_size):
+            if k < n_chunks_real and (k + 1) * n <= T_coeffs.shape[-1]:
+                chunk = T_coeffs[..., k * n:(k + 1) * n]
+            elif k < n_chunks_real:
+                chunk = jnp.pad(
+                    T_coeffs[..., k * n:],
+                    ((0, 0), (0, (k + 1) * n - T_coeffs.shape[-1])))
+            else:
+                chunk = L.zeros(fs, (n,))
+            d = common.basic_domain
+            T_chunks.append(PolyDFS(fs, d.fft(chunk), n))
 
     commitment_scheme.append_to_batch(C.QUOTIENT_BATCH, T_chunks)
     proof.commitments[C.QUOTIENT_BATCH] = \

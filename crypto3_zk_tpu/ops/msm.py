@@ -185,7 +185,14 @@ def _weighted_bucket_reduce(ops, buckets, n_buckets: int):
     m = n_buckets - 1
     m2 = 1 << (m - 1).bit_length() if m > 1 else 1
     if m2 != m:
-        inf = CRV.inf_point(ops, (m2 - m,))
+        # match any leading batch dims (e.g. the window axis of the
+        # grouped affine MSM): coords are (NL, *batch, m)
+        def lead_shape(x):
+            while isinstance(x, tuple):
+                x = x[0]
+            return x.shape[1:-1]
+
+        inf = CRV.inf_point(ops, lead_shape(S[0]) + (m2 - m,))
 
         def cat(a, b):
             if isinstance(a, tuple):

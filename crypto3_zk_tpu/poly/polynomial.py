@@ -210,6 +210,13 @@ class PolyDFS:
         return PolyDFS(self.fs, L.mont_mul(
             self.fs, self.v, L.const_mont(self.fs, k, (1,))), self.deg)
 
+    def scale_arr(self, k: "jnp.ndarray") -> "PolyDFS":
+        """Scale by a (NL, 1) Montgomery limb array. Used inside jitted
+        prover phases where the scalar is a Fiat-Shamir challenge that must
+        stay a traced INPUT — baking it via `scale(int)` would recompile
+        the phase program on every proof."""
+        return PolyDFS(self.fs, L.mont_mul(self.fs, self.v, k), self.deg)
+
     def shift(self, rotation: int, domain_size: int | None = None) -> "PolyDFS":
         """g(x) = f(x * w_m^rotation) where m = domain_size (default: own
         size): evals roll by -rotation * (n/m)
@@ -237,6 +244,23 @@ def polynomial_sum(ps: list[PolyDFS]) -> PolyDFS:
             nxt.append(ps[-1])
         ps = nxt
     return ps[0]
+
+
+import jax as _jax
+
+# PolyDFS / Poly as pytrees: evaluation arrays are leaves, (fs, deg) is
+# static aux data. This lets whole prover PHASES be jitted over PolyDFS
+# values directly (deg bookkeeping stays host-side static, exactly as the
+# module docstring promises), instead of hand-flattening every phase
+# signature into raw arrays.
+_jax.tree_util.register_pytree_node(
+    PolyDFS,
+    lambda p: ((p.v,), (p.fs, p.deg)),
+    lambda aux, ch: PolyDFS(aux[0], ch[0], aux[1]))
+_jax.tree_util.register_pytree_node(
+    Poly,
+    lambda p: ((p.c,), (p.fs,)),
+    lambda aux, ch: Poly(aux[0], ch[0]))
 
 
 def polynomial_product(ps: list[PolyDFS]) -> PolyDFS:

@@ -190,3 +190,38 @@ def test_plonk_permutation_map():
     pm = PlonkPermutation(2, 3)
     pm.cells_equal((0, 1), (1, 2))
     assert pm[(0, 1)] == (1, 2) and pm[(1, 0)] == (1, 0)
+
+
+def test_pickles_batch_verify_e2e():
+    """to_batch/batch_verify (`pickles/verifier.hpp:68-388`) over a
+    synthetic verifier index: honest proof accepted (single + batch of 2),
+    mutated evaluations / ft_eval1 / opening rejected."""
+    import copy
+
+    from crypto3_zk_tpu.commitments import kimchi_pedersen as KP
+    from crypto3_zk_tpu.commitments.ipa import PALLAS
+    from crypto3_zk_tpu.fields.group_map import GroupMap
+    from crypto3_zk_tpu.models import pickles as PI
+
+    rng = random.Random(1234)
+    srs = KP.setup(PALLAS, 16, rng=rng)
+    gmap = GroupMap(PALLAS.fq, 0, 5)
+    index = PI.synthetic_index(srs, 16, rng)
+    proof = PI.synthetic_prove(index, gmap, rng)
+    assert PI.verify(gmap, index, proof)
+
+    proof2 = PI.synthetic_prove(index, gmap, rng)
+    assert PI.batch_verify(gmap, [(index, proof), (index, proof2)])
+
+    m = copy.deepcopy(proof)
+    m.ft_eval1 = (m.ft_eval1 + 1) % PALLAS.fr.p
+    assert not PI.verify(gmap, index, m)
+    m = copy.deepcopy(proof)
+    m.evals[0].w[3][0] = (m.evals[0].w[3][0] + 1) % PALLAS.fr.p
+    assert not PI.verify(gmap, index, m)
+    m = copy.deepcopy(proof)
+    m.proof.z1 = (m.proof.z1 + 1) % PALLAS.fr.p
+    assert not PI.verify(gmap, index, m)
+    m = copy.deepcopy(proof)
+    m.public_input = [1, 0]
+    assert not PI.verify(gmap, index, m)

@@ -173,3 +173,61 @@ def test_placeholder_rejects_wrong_public_input():
     bad_public = [[(public_input[0][0] + 1) % FS.p]]
     assert not verify(params, pub.common_data, proof, desc, cs, vscheme,
                       public_input=bad_public)
+
+
+def test_placeholder_circuit3_tag_lookup():
+    from circuits import circuit_3
+    ok, _proof, _pub = _run(circuit_3)
+    assert ok
+
+
+def test_placeholder_circuit4_binary_mul_lookup():
+    from circuits import circuit_4
+    ok, _proof, _pub = _run(circuit_4)
+    assert ok
+
+
+def test_placeholder_circuit5_wide_table():
+    from circuits import circuit_5
+    ok, _proof, _pub = _run(circuit_5)
+    assert ok
+
+
+def test_placeholder_circuit6_range_check_multi_table():
+    from circuits import circuit_6
+    ok, _proof, _pub = _run(circuit_6)
+    assert ok
+
+
+def test_placeholder_circuit7_big_rotations():
+    from circuits import circuit_7
+    ok, _proof, _pub = _run(circuit_7)
+    assert ok
+
+
+def test_placeholder_circuit_fib():
+    from circuits import circuit_fib
+    ok, _proof, _pub = _run(circuit_fib)
+    assert ok
+
+
+def test_placeholder_circuit4_rejects_nonmember_lookup():
+    """Tag-column lookup negative path (`placeholder.cpp:788-927`): a
+    witness row outside the binary-product table must be rejected."""
+    rng = random.Random(3)
+    from circuits import circuit_4
+    cs, assignment, desc, public_input = circuit_4(FS, rng)
+    # break row 3: (b, b, b*b) -> (b, b, b*b+1), selected for lookups
+    assignment.witnesses[2][3] = (assignment.witnesses[2][3] + 1) % FS.p
+    params = C.PlaceholderParams(FS)
+    degree_log = desc.rows_amount.bit_length() - 1
+    fri_params = FRI.FRIParams.build(FS, degree_log=degree_log,
+                                     expand_factor=2, lambda_=4,
+                                     merkle_hash="poseidon")
+    scheme = LPCScheme(fri_params)
+    pub = PP.process_public(params, cs, assignment, desc, scheme)
+    priv = PP.process_private(params, cs, assignment, desc)
+    proof = prove(params, pub, priv, desc, cs, scheme)
+    vscheme = LPCScheme(fri_params)
+    assert not verify(params, pub.common_data, proof, desc, cs, vscheme,
+                      public_input=public_input)
