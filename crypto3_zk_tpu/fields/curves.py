@@ -39,11 +39,22 @@ class CurveSpec:
     b2: tuple[tuple[int, int], tuple[int, int]] | None  # unused; from b/xi
     g2: tuple[tuple[int, int], tuple[int, int]]
     cofactor_g1: int = 1
+    # optimal-ate parameters: loop count |t| (0 = fall back to Tate),
+    # whether the curve parameter is negative (BLS12-381: z < 0 => conjugate
+    # the Miller value), and whether the BN two-Frobenius tail steps apply
+    ate_loop: int = 0
+    ate_is_negative: bool = False
+    ate_bn_tail: bool = False
+    # BLS12 production implementations (crypto3-algebra, bellperson, blst)
+    # use the Hayashida-et-al. hard part, whose exponent is 3*(p^4-p^2+1)/r
+    # — the canonical reduced value CUBED (gcd(3, r) = 1, still a perfect
+    # pairing). Pinned by the bellperson ipp2 vectors in test_conformance.
+    final_exp_factor: int = 1
 
     @functools.cached_property
     def final_exp(self) -> int:
         p = self.fq.p
-        return (p ** 12 - 1) // self.fr.p
+        return self.final_exp_factor * ((p ** 12 - 1) // self.fr.p)
 
     def __hash__(self):
         return hash(self.name)
@@ -60,6 +71,9 @@ BLS12_381 = CurveSpec(
     ),
     xi=(1, 1),        # 1 + u
     twist="M",
+    ate_loop=0xD201000000010000,     # |z|, z = -0xd201000000010000
+    ate_is_negative=True,
+    final_exp_factor=3,
     b2=None,
     g2=(
         (
@@ -82,6 +96,8 @@ ALT_BN128 = CurveSpec(
     g1=(1, 2),
     xi=(9, 1),        # 9 + u
     twist="D",
+    ate_loop=6 * 4965661367192848881 + 2,    # 6z + 2, z > 0
+    ate_bn_tail=True,
     b2=None,
     g2=(
         (
@@ -155,6 +171,55 @@ def g2_on_curve(c, pt) -> bool:
                     F.add(F.smul(x, c.a), F.embed(c.b)))
         return F.sqr(y) == rhs
     return g2_is_on_curve(c, pt)
+
+
+def sqrt_fq(c: CurveSpec, a: int):
+    """Square root in Fq (p = 3 mod 4 for bls12-381 and alt_bn128), or None
+    if a is a non-residue. Used by compressed-point deserialization."""
+    p = c.fq.p
+    assert p % 4 == 3
+    a %= p
+    r = pow(a, (p + 1) // 4, p)
+    return r if r * r % p == a else None
+
+
+def sqrt_fq2(c: CurveSpec, a):
+    """Square root in Fq2 = Fq[u]/(u^2+1) via the norm map, or None."""
+    p = c.fq.p
+    a0, a1 = a[0] % p, a[1] % p
+    if a1 == 0:
+        r = sqrt_fq(c, a0)
+        if r is not None:
+            return (r, 0)
+        r = sqrt_fq(c, (-a0) % p)        # a0 = -(r^2) => sqrt = r*u
+        return None if r is None else (0, r)
+    alpha = sqrt_fq(c, (a0 * a0 + a1 * a1) % p)   # sqrt of the norm
+    if alpha is None:
+        return None
+    inv2 = pow(2, -1, p)
+    x0 = sqrt_fq(c, (a0 + alpha) * inv2 % p)
+    if x0 is None or x0 == 0:
+        x0 = sqrt_fq(c, (a0 - alpha) % p * inv2 % p)
+    if x0 is None or x0 == 0:
+        return None
+    x1 = a1 * pow(2 * x0, -1, p) % p
+    cand = (x0, x1)
+    sq = ((x0 * x0 - x1 * x1) % p, 2 * x0 * x1 % p)
+    return cand if sq == (a0, a1) else None
+
+
+def g2_y_from_x(c: CurveSpec, x):
+    """y with y^2 = x^3 + b2 on the sextic twist, or None. b2 = b*xi for
+    M-twists (bls12-381) and b/xi for D-twists (alt_bn128)."""
+    p = c.fq.p
+    from . import tower as _T
+    x3 = _T.fq2_mul(p, _T.fq2_sqr(p, x), x)
+    if c.twist == "M":
+        b2 = _T.fq2_scalar(p, c.xi, c.b)
+    else:
+        b2 = _T.fq2_scalar(p, _T.fq2_inv(p, c.xi), c.b)
+    rhs = _T.fq2_add(p, x3, b2)
+    return sqrt_fq2(c, rhs)
 
 
 def g1_well_formed(c, pt) -> bool:
@@ -335,7 +400,89 @@ def untwist(c: CurveSpec, q):
     return xs, ys
 
 
+def _fq12_eq(a, b):
+    return a == b
+
+
+def _ate_step(c: CurveSpec, T1, T2, Pt):
+    """Full chord/tangent line l_{T1,T2} evaluated at Pt, plus T1 + T2 —
+    all in affine E(Fq12) coordinates, slope computed once. Full line
+    functions (verticals included) so the Miller value conforms bit-for-bit
+    with bellperson/py_ecc (no denominator elimination)."""
+    p, xi = c.fq.p, c.xi
+    x1, y1 = T1
+    x2, y2 = T2
+    xt, yt = Pt
+    if not _fq12_eq(x1, x2):
+        m = T.fq12_mul(p, xi, _fq12_sub(p, y2, y1),
+                       T.fq12_inv(p, xi, _fq12_sub(p, x2, x1)))
+    elif _fq12_eq(y1, y2):
+        x1sq = T.fq12_sqr(p, xi, x1)
+        num = _fq12_add(p, _fq12_add(p, x1sq, x1sq), x1sq)
+        m = T.fq12_mul(p, xi, num,
+                       T.fq12_inv(p, xi, _fq12_add(p, y1, y1)))
+    else:
+        # vertical: l = xt - x1, T1 + T2 = infinity (never reached for
+        # subgroup points within the ate loop; kept for completeness)
+        return _fq12_sub(p, xt, x1), None
+    line = _fq12_sub(p, T.fq12_mul(p, xi, m, _fq12_sub(p, xt, x1)),
+                     _fq12_sub(p, yt, y1))
+    x3 = _fq12_sub(p, _fq12_sub(p, T.fq12_sqr(p, xi, m), x1), x2)
+    y3 = _fq12_sub(p, T.fq12_mul(p, xi, m, _fq12_sub(p, x1, x3)), y1)
+    return line, (x3, y3)
+
+
+def _fq12_frob_point(c: CurveSpec, Q):
+    """(x^p, y^p) on E(Fq12) via Frobenius (fq12_pow by p; host-side)."""
+    p, xi = c.fq.p, c.xi
+    return (T.fq12_pow(p, xi, Q[0], p), T.fq12_pow(p, xi, Q[1], p))
+
+
+def _ate_miller_loop(c: CurveSpec, p_g1, q_g2):
+    """Optimal-ate Miller loop f_{t,psi(Q)}(P): the loop runs over the
+    (short) curve parameter with T = psi(Q) in E(Fq12), lines evaluated at
+    P. BLS12-381: t = |z|, conjugate at the end (z < 0). BN254: t = 6z+2
+    plus the two Frobenius tail steps. Conforms to the value pinned by the
+    reference's bellperson vectors
+    (`r1cs_gg_ppzksnark_aggregation_conformity.cpp:214-292`)."""
+    p, xi = c.fq.p, c.xi
+    if p_g1 is None or q_g2 is None:
+        return T.FQ12_ONE
+    Pt = (_fq12_embed_fq(c, p_g1[0]), _fq12_embed_fq(c, p_g1[1]))
+    Qx, Qy = untwist(c, q_g2)
+    Qt = (Qx, Qy)
+    f = T.FQ12_ONE
+    Tpt = Qt
+    for bit in bin(c.ate_loop)[3:]:
+        line, Tpt = _ate_step(c, Tpt, Tpt, Pt)
+        f = T.fq12_mul(p, xi, T.fq12_sqr(p, xi, f), line)
+        if bit == "1":
+            line, Tpt = _ate_step(c, Tpt, Qt, Pt)
+            f = T.fq12_mul(p, xi, f, line)
+    if c.ate_bn_tail:
+        Q1 = _fq12_frob_point(c, Qt)
+        Q2 = _fq12_frob_point(c, Q1)
+        nQ2 = (Q2[0], (T.fq6_neg(p, Q2[1][0]), T.fq6_neg(p, Q2[1][1])))
+        line, Tpt = _ate_step(c, Tpt, Q1, Pt)
+        f = T.fq12_mul(p, xi, f, line)
+        line, Tpt = _ate_step(c, Tpt, nQ2, Pt)
+        f = T.fq12_mul(p, xi, f, line)
+    if c.ate_is_negative:
+        f = T.fq12_conj(p, f)
+    return f
+
+
 def miller_loop(c: CurveSpec, p_g1, q_g2):
+    """Optimal-ate Miller value when the curve carries ate parameters
+    (BLS12-381, alt_bn128 — the externally-conformant pairing), else the
+    Tate loop below. Product-then-final-exp composition is preserved for
+    both (ipp2 multiplies Miller values before one final exponentiation)."""
+    if c.ate_loop:
+        return _ate_miller_loop(c, p_g1, q_g2)
+    return _tate_miller_loop(c, p_g1, q_g2)
+
+
+def _tate_miller_loop(c: CurveSpec, p_g1, q_g2):
     """f_{r,P}(psi(Q)) — verticals skipped (killed by the final exp)."""
     p, xi = c.fq.p, c.xi
     if p_g1 is None or q_g2 is None:
