@@ -25,6 +25,7 @@ import random
 from ...fields import curves as CV
 from ...fields import tower as T
 from ...transcript.hashes import sha2_256
+from ...utils import bincode as BC
 from . import Proof
 
 # ---------------------------------------------------------------------------
@@ -61,57 +62,49 @@ def _pair(curve, a, b):
 # ---------------------------------------------------------------------------
 
 class Ipp2Transcript:
+    """Bit-exact `snark::transcript` (`ipp2/transcript.hpp:44-151`): an
+    INCREMENTAL sha2-256 accumulator over bincode-serialized writes (LE
+    field blobs, ZCash-compressed points); `read_challenge` forks the
+    accumulator, appends an 8-byte little-endian counter and
+    rejection-samples a scalar (LE decode, reject >= r and 0/1). Pinned by
+    the bellperson vector in `..._aggregation_conformity.cpp:1041-1062`."""
+
     def __init__(self, curve: CV.CurveSpec, application_tag: bytes):
+        import hashlib
+
         self.curve = curve
-        self.data = application_tag
+        self._h = hashlib.sha256()
+        self._h.update(application_tag)
 
     def write_domain_separator(self, sep: bytes):
-        self.data += sep
-
-    def _ser_g1(self, pt):
-        nb = (self.curve.fq.bits + 7) // 8
-        if pt is None:
-            return b"\x00" * (2 * nb)
-        return pt[0].to_bytes(nb, "big") + pt[1].to_bytes(nb, "big")
-
-    def _ser_g2(self, pt):
-        nb = (self.curve.fq.bits + 7) // 8
-        if pt is None:
-            return b"\x00" * (4 * nb)
-        return b"".join(v.to_bytes(nb, "big") for v in (*pt[0], *pt[1]))
-
-    def _ser_gt(self, x):
-        nb = (self.curve.fq.bits + 7) // 8
-        flat = []
-        for c6 in x:
-            for c2 in c6:
-                flat.extend(c2)
-        return b"".join(v.to_bytes(nb, "big") for v in flat)
-
-    def _ser_fr(self, v):
-        nb = (self.curve.fr.bits + 7) // 8
-        return (v % self.curve.fr.p).to_bytes(nb, "big")
+        self._h.update(sep)
 
     def write_gt(self, x):
-        self.data += self._ser_gt(x)
+        self._h.update(BC.fq12_to_bytes(self.curve, x))
 
     def write_g1(self, x):
-        self.data += self._ser_g1(x)
+        self._h.update(BC.g1_to_bytes(self.curve, x))
 
     def write_g2(self, x):
-        self.data += self._ser_g2(x)
+        self._h.update(BC.g2_to_bytes(self.curve, x))
 
     def write_fr(self, v):
-        self.data += self._ser_fr(v)
+        self._h.update(BC.fr_to_bytes(self.curve, v))
 
     def write_bytes(self, b: bytes):
-        self.data += len(b).to_bytes(8, "little") + b
+        self._h.update(len(b).to_bytes(8, "little") + b)
 
     def read_challenge(self) -> int:
-        d = sha2_256(self.data)
-        self.data += d
-        c = int.from_bytes(d, "big") % self.curve.fr.p
-        return c if c != 0 else 1
+        p = self.curve.fr.p
+        counter = 0
+        while True:
+            counter += 1
+            h2 = self._h.copy()
+            h2.update(counter.to_bytes(8, "big"))
+            v = int.from_bytes(h2.digest(), "little")
+            if v >= p or v in (0, 1):
+                continue
+            return v
 
 
 # ---------------------------------------------------------------------------
