@@ -42,11 +42,23 @@ from . import curve as CRV
 from . import limbs as L
 
 I32 = jnp.int32
-_DEAD = 0xFFFF          # sorts after every live bucket (16-bit radix)
+_DEAD = 0x7FFFFFFF      # sorts after every live (window, bucket) key
 _GRID_LO = 256          # j = 256*hi + lo bucket-merge split
 _GRID_HI = 129          # buckets 0..2^15 -> hi in 0..128
 _GRID = _GRID_LO * _GRID_HI
 _INV_CHUNK = 64         # sequential-chunk width of the batched inversion
+
+
+def _pallas_pass_enabled() -> bool:
+    """VMEM-resident pair-add kernels (`ops/pallas_msm.py`) for the
+    G1 halving passes. Opt-in: Mosaic compiles cost ~28 min each on the
+    remote tunnel, so the XLA path stays the default until the kernels are
+    compile-cached."""
+    import os
+    return os.environ.get("ZK_TPU_PALLAS_MSM", "") not in ("", "0")
+_LANES_CAP = 1 << 23    # max flattened (windows x points) lanes per group:
+                        # bounds peak HBM (~6 coord-sized temporaries) while
+                        # amortizing per-pass fixed latency over 8+ windows
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +208,39 @@ def _pair_denominator(ops, A, B):
     return den, (dy, dbl, vanish)
 
 
+def _pair_denominator_finite(ops, A, B, leader):
+    """`_pair_denominator` for the halving passes, where every live lane
+    holds a FINITE point (dead lanes are compacted out and cancellations
+    become dead lanes): no infinity-operand plumbing, and non-leader lanes
+    get 1 so the batched inverse never sees zero."""
+    ax, ay = A
+    bx, by = B
+    dx = ops.sub(bx, ax)
+    dy = ops.sub(by, ay)
+    x_eq = ops.is_zero(dx)
+    y_eq = ops.is_zero(dy)
+    dbl = x_eq & y_eq
+    vanish = x_eq & ~y_eq
+    den = ops.select(dbl, ops.dbl(ay), dx)
+    den = ops.select(~leader | vanish, ops.ones(_shape_of(ops, ax)), den)
+    return den, (dy, dbl, vanish)
+
+
+def _pair_combine_finite(ops, A, B, inv_den, aux):
+    """A + B over finite operands given the batched slope-denominator
+    inverse. Returns (x3, y3, vanish): `vanish` lanes (P + (-P)) must be
+    killed by the caller. 4 muls/lane (a = 0 curves)."""
+    ax, ay = A
+    bx, by = B
+    dy, dbl, vanish = aux
+    x2 = ops.sqr(ax)
+    num = ops.select(dbl, ops.add(ops.dbl(x2), x2), dy)
+    lam = ops.mul(num, inv_den)
+    x3 = ops.sub(ops.sub(ops.sqr(lam), ax), bx)
+    y3 = ops.sub(ops.mul(lam, ops.sub(ax, x3)), ay)
+    return x3, y3, vanish
+
+
 def _pair_combine(ops, A, B, inv_den, aux):
     """A + B given the batched inverse of the slope denominator.
     4 muls/lane (a = 0 curves: tangent numerator 3x^2)."""
@@ -264,67 +309,80 @@ def _ranks(sorted_keys):
 # halving passes
 # ---------------------------------------------------------------------------
 
-def _one_pass(ops, state, size: int):
-    """One halving pass at static `size`: pair even-rank elements with
-    their right neighbour (same bucket), batched-affine add, compact
-    survivors with a cumsum scatter. DEAD lanes carry bucket _DEAD."""
-    x, y, inf, bucket, rank = state
-    idx = jnp.arange(size, dtype=I32)
+def _one_pass(ops, state, in_size: int, out_size: int):
+    """One halving pass: pair even-rank elements with their right
+    neighbour (same bucket), batched-affine add, compact survivors to
+    `out_size` lanes. State is (x, y, bucket) — every live lane holds a
+    FINITE point; cancelled pairs and consumed partners become _DEAD.
+
+    Compaction moves coordinates with an int32 iota-SCATTER followed by a
+    coordinate GATHER: TPU scatters of multi-limb coordinate planes are
+    ~8x slower than same-size gathers (measured 2^23: coord scatter 900ms
+    vs gather 125ms), so only a (out_size,) int32 selector is ever
+    scattered."""
+    x, y, bucket = state
+    idx = jnp.arange(in_size, dtype=I32)
+    rank = _ranks(bucket)
     nb = jnp.roll(bucket, -1)
-    nxt = (_roll(x, -1), _roll(y, -1), jnp.roll(inf, -1))
-    same = (bucket == nb) & (bucket != _DEAD) & (idx < size - 1)
+    B = (_roll(x, -1), _roll(y, -1))
+    same = (bucket == nb) & (bucket != _DEAD) & (idx < in_size - 1)
     leader = same & (rank % 2 == 0)
 
-    A = (x, y, inf)
-    den, aux = _pair_denominator(ops, A, nxt)
-    den = ops.select(leader, den, ops.ones((size,)))
-    inv_den = _batch_inverse_chunked(ops, den, size)
-    rx, ry, rinf = _pair_combine(ops, A, nxt, inv_den, aux)
+    if _pallas_pass_enabled() and not isinstance(x, tuple):
+        from . import pallas_msm as PM
+        interp = jax.default_backend() == "cpu"
+        one_m = L.ones_mont(ops.fs, (1,))
+        den, dbl, vanish = PM.pair_den_pallas(ops.fs, x, y, B[0], B[1],
+                                              leader, one_m,
+                                              interpret=interp)
+        inv_den = _batch_inverse_chunked(ops, den, in_size)
+        new_x, new_y = PM.pair_combine_pallas(ops.fs, x, y, B[0], B[1],
+                                              inv_den, leader, dbl,
+                                              interpret=interp)
+    else:
+        den, aux = _pair_denominator_finite(ops, (x, y), B, leader)
+        inv_den = _batch_inverse_chunked(ops, den, in_size)
+        rx, ry, vanish = _pair_combine_finite(ops, (x, y), B, inv_den, aux)
+        new_x = ops.select(leader, rx, x)
+        new_y = ops.select(leader, ry, y)
+    alive = (bucket != _DEAD) & (rank % 2 == 0) & ~(leader & vanish)
 
-    new_x = ops.select(leader, rx, x)
-    new_y = ops.select(leader, ry, y)
-    new_inf = jnp.where(leader, rinf, inf)
+    pos_incl = jnp.cumsum(alive.astype(I32))
+    pos = jnp.where(alive, pos_incl - 1, out_size)   # out_size = dump slot
+    sel = jnp.full((out_size + 1,), in_size, I32).at[pos].set(idx)
+    sel = sel[:out_size]
 
-    survivor = (bucket != _DEAD) & (rank % 2 == 0)
-    pos_incl = jnp.cumsum(survivor.astype(I32))
-    pos = jnp.where(survivor, pos_incl - 1, size)    # size = dummy slot
+    def pad1(a):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, 1)])
 
-    def dead_like(a):
-        return jnp.zeros(a.shape[:-1] + (size + 1,), a.dtype)
-
-    out_x = _scatter_last(_tmap(dead_like, new_x), pos, new_x)
-    out_y = _scatter_last(_tmap(dead_like, new_y), pos, new_y)
-    out_inf = jnp.ones((size + 1,), bool).at[pos].set(new_inf)
-    out_bucket = jnp.full((size + 1,), _DEAD, I32).at[pos].set(bucket)
-    out_rank = jnp.zeros((size + 1,), I32).at[pos].set(rank >> 1)
-    return (_slice_last(out_x, size), _slice_last(out_y, size),
-            out_inf[:size], out_bucket[:size], out_rank[:size])
+    out_x = _take(_tmap(pad1, new_x), sel)
+    out_y = _take(_tmap(pad1, new_y), sel)
+    out_bucket = jnp.pad(bucket, (0, 1), constant_values=_DEAD)[sel]
+    return out_x, out_y, out_bucket
 
 
-def _pass_schedule(n: int):
-    """Static (size, n_passes) groups. Live count after k passes is at most
-    n/2^k + (#nonempty buckets) <= n/2^k + 2^15+1, so pass-array sizes
-    shrink on that bound — but only when the bound has at least halved the
-    current size, which caps the number of distinct compiled pass shapes at
-    ~4. ceil(log2 n) passes collapse every bucket even for fully skewed
-    digits (all scalars equal)."""
-    total = max((n - 1).bit_length(), 1)
-    floor = _GRID + 256
-    groups = []
+def _pass_schedule(n: int, wg: int = 1):
+    """Static (in_size, out_size) per halving pass. Live count after k+1
+    passes is at most n/2^(k+1) + (#nonempty buckets) <= n/2^(k+1) +
+    wg*(2^15+1); a pass compacts down to that bound — but only when the
+    bound has at least halved the current size, which caps the number of
+    DISTINCT compiled pass shapes at ~4-6 (every fresh shape is another
+    inversion-scan + gather program for XLA to compile; equal-shape runs
+    re-enter one fori_loop body). ceil(log2(n/wg)) passes collapse every
+    bucket even for fully skewed digits (runs never span windows)."""
+    total = max((n // max(wg, 1) - 1).bit_length(), 1)
+    floor = wg * _GRID + 256
+    passes = []
     size = n
     for k in range(total):
         bound = min(n, (n >> (k + 1)) + floor)
-        bound = -(-bound // 256) * 256
-        if bound <= size // 2:
-            size_next = bound
-        else:
-            size_next = size
-        if groups and groups[-1][0] == size:
-            groups[-1] = (size, groups[-1][1] + 1)
-        else:
-            groups.append((size, 1))
-        size = size_next
-    return tuple(groups)
+        # multiple of 4096: aligns both the inversion chunks and the
+        # Pallas pair-kernel block width
+        bound = min(size, -(-bound // 4096) * 4096)
+        out = bound if bound <= size // 2 else size
+        passes.append((size, out))
+        size = out
+    return tuple(passes)
 
 
 # ---------------------------------------------------------------------------
@@ -332,34 +390,40 @@ def _pass_schedule(n: int):
 # ---------------------------------------------------------------------------
 
 def _tree_reduce_axis(ops, G, axis_len: int, axis: int):
-    """In-place binary tree reduction along `axis` (static length) of the
-    (hi, lo) affine grid; lane 0 of the axis ends up holding the total.
-    fori with dynamic roll distance: one combine in the graph."""
+    """In-place binary tree reduction along NEGATIVE `axis` (static length)
+    of the (..., hi, lo) affine grid (leading dims are batch — e.g. the
+    window axis); lane 0 of the axis ends up holding the total. fori with
+    dynamic roll distance: one combine in the graph."""
+    assert axis < 0
     x, y, inf = G
     nlog = max((axis_len - 1).bit_length(), 1)
-    idx_shape = [1, 1]
+    idx_shape = [1] * (-axis)
     idx_shape[axis] = axis_len
     idx = jnp.arange(axis_len).reshape(idx_shape)
 
     def body(k, st):
         cx, cy, cinf = st
         d = jnp.left_shift(jnp.int32(1), k)
-        px = _roll(cx, -d, axis=axis - 2)   # coord arrays are (NL, hi, lo)
-        py = _roll(cy, -d, axis=axis - 2)
-        pinf = jnp.roll(cinf, -d, axis=axis)
+        px = _roll(cx, -d, axis=axis)       # trailing dims align right, so
+        py = _roll(cy, -d, axis=axis)       # the same negative axis works
+        pinf = jnp.roll(cinf, -d, axis=axis)   # for (NL, ...) coords too
         active = ((idx % jnp.left_shift(jnp.int32(2), k)) == 0) \
             & (idx + d < axis_len)
         active = jnp.broadcast_to(active, cinf.shape)
         A = (cx, cy, cinf)
         B = (px, py, pinf | ~active)        # inactive partner = infinity
         den, aux = _pair_denominator(ops, A, B)
-        size = cinf.shape[0] * cinf.shape[1]
+        size = 1
+        for s in cinf.shape:
+            size *= s
+        nb = len(cinf.shape)
 
         def flat(a):
-            return a.reshape(a.shape[:-2] + (size,))
+            return a.reshape(a.shape[:-nb] + (size,))
 
         inv_den = _batch_inverse_chunked(ops, _tmap(flat, den), size)
-        inv_den = _tmap(lambda a: a.reshape(a.shape[:-1] + cinf.shape), inv_den)
+        inv_den = _tmap(lambda a: a.reshape(a.shape[:-1] + cinf.shape),
+                        inv_den)
         rx, ry, rinf = _pair_combine(ops, A, B, inv_den, aux)
         keep = jnp.broadcast_to((idx % jnp.left_shift(jnp.int32(2), k)) == 0,
                                 cinf.shape)
@@ -414,66 +478,99 @@ def _signed_digits(nl: int, limbs):
 # the single-program MSM
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _msm_affine_program(ops, coords, scalar_limbs, schedule):
+def _window_grouping(w: int, n: int) -> tuple[int, int]:
+    """(n_groups, windows_per_group): flatten as many windows as fit the
+    lane cap; wg always divides w (w = 16 scalar limbs -> wg a power of
+    two)."""
+    wg = max(1, min(w, _LANES_CAP // max(n, 1)))
+    while w % wg:
+        wg -= 1
+    return w // wg, wg
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _msm_affine_program(ops, coords, scalar_limbs):
     """coords: (X, Y, Yneg) affine Montgomery limb planes, batch N.
     scalar_limbs: (W, N) uint32 16-bit plain limbs. Returns per-window
-    Jacobian points with leading (W,) batch."""
+    Jacobian coords of shape (NL, W).
+
+    ALL windows of a group are flattened into one (wg*N,)-lane array keyed
+    by (window << 16) | bucket and processed by ONE sort + ONE stack of
+    halving passes + ONE batched grid merge: per-pass fixed latencies
+    (inverse scan steps, scatter setup, sort stages) amortize over wg
+    windows instead of paying per window — the per-window formulation was
+    latency-bound, not multiply-bound, at 2^16-2^20."""
     X, Y, Yneg = coords
-    n = scalar_limbs.shape[1]
-    sdig = _signed_digits(scalar_limbs.shape[0], scalar_limbs)
+    w, n = scalar_limbs.shape
+    sdig = _signed_digits(w, scalar_limbs)              # (W, N) int32
+    g_cnt, wg = _window_grouping(w, n)
+    size0 = wg * n
+    schedule = _pass_schedule(size0, wg)
 
     YY = _tmap(lambda a, b: jnp.concatenate([a, b], axis=-1), Y, Yneg)
+    wloc = jnp.arange(wg, dtype=I32)[:, None]
 
-    def window(carry, sw):
-        bucket0 = jnp.abs(sw)
-        bucket0 = jnp.where(bucket0 == 0, _DEAD, bucket0)
-        keys, perm = _bitonic_sort(bucket0)
-        rank = _ranks(keys)
-        sign = (sw < 0).astype(I32)
-        xs = _take(X, perm)
-        ys = _take(YY, perm + n * sign[perm])
-        inf = keys == _DEAD
-        state = (xs, ys, inf, keys, rank)
-        for (size, n_passes) in schedule:
-            state = (_slice_last(state[0], size), _slice_last(state[1], size),
-                     state[2][:size], state[3][:size], state[4][:size])
-            if n_passes == 1:
-                state = _one_pass(ops, state, size)
+    def group(carry, sw):                               # sw: (wg, N)
+        bucket = jnp.abs(sw)
+        key = jnp.where(bucket == 0, _DEAD,
+                        (wloc << 16) | bucket).reshape(size0)
+        sign = (sw < 0).astype(I32).reshape(size0)
+        keys, perm = _bitonic_sort(key)
+        pid = perm % n                                  # point index
+        xs = _take(X, pid)
+        ys = _take(YY, pid + n * sign[perm])
+        state = (xs, ys, keys)
+        # coalesce equal-shape passes into fori_loop bodies so XLA compiles
+        # each distinct (in, out) pass shape exactly once
+        runs: list[list] = []
+        for io in schedule:
+            if runs and runs[-1][0] == io and io[0] == io[1]:
+                runs[-1][1] += 1
             else:
+                runs.append([io, 1])
+        for (in_size, out_size), cnt in runs:
+            if in_size == out_size and cnt > 1:
                 state = jax.lax.fori_loop(
-                    0, n_passes, lambda _, st: _one_pass(ops, st, size),
+                    0, cnt,
+                    lambda _, st, s=in_size: _one_pass(ops, st, s, s),
                     state)
-        x, y, inf, bucket, rank = state
+            else:
+                for _ in range(cnt):
+                    state = _one_pass(ops, state, in_size, out_size)
+        x, y, key = state
 
-        # dense (hi, lo) grid scatter: bucket j -> (j >> 8, j & 255)
-        tgt = jnp.where(bucket == _DEAD, _GRID, bucket)
+        # dense (window, hi, lo) grid scatter: key -> w*GRID + hi*256 + lo
+        bkt = key & 0xFFFF
+        tgt = jnp.where(key == _DEAD, wg * _GRID,
+                        (key >> 16) * _GRID + (bkt >> 8) * _GRID_LO
+                        + (bkt & 0xFF))
 
         def grid_like(a):
-            return jnp.zeros(a.shape[:-1] + (_GRID + 1,), a.dtype)
+            return jnp.zeros(a.shape[:-1] + (wg * _GRID + 1,), a.dtype)
 
-        gx = _scatter_last(_tmap(grid_like, x), tgt, x)
-        gy = _scatter_last(_tmap(grid_like, y), tgt, y)
-        ginf = jnp.ones((_GRID + 1,), bool).at[tgt].set(inf)
-        gx = _tmap(lambda a: a[..., :_GRID].reshape(
-            a.shape[:-1] + (_GRID_HI, _GRID_LO)), gx)
-        gy = _tmap(lambda a: a[..., :_GRID].reshape(
-            a.shape[:-1] + (_GRID_HI, _GRID_LO)), gy)
-        ginf = ginf[:_GRID].reshape(_GRID_HI, _GRID_LO)
+        def grid_shape(a):
+            return a[..., :wg * _GRID].reshape(
+                a.shape[:-1] + (wg, _GRID_HI, _GRID_LO))
 
-        # C_hi = sum_lo B[hi, lo]  (reduce lo axis)
-        cx, cy, cinf = _tree_reduce_axis(ops, (gx, gy, ginf), _GRID_LO, 1)
+        gx = _tmap(grid_shape, _scatter_last(_tmap(grid_like, x), tgt, x))
+        gy = _tmap(grid_shape, _scatter_last(_tmap(grid_like, y), tgt, y))
+        # a grid cell is infinity unless a live lane lands on it
+        ginf = grid_shape(jnp.ones((wg * _GRID + 1,), bool)
+                          .at[tgt].set(key == _DEAD))
+
+        # C_hi = sum_lo B[w, hi, lo]  (reduce lo axis, batched over w)
+        cx, cy, cinf = _tree_reduce_axis(ops, (gx, gy, ginf), _GRID_LO, -1)
         C_hi = _jacobianize(ops, _tmap(lambda a: a[..., 0], cx),
                             _tmap(lambda a: a[..., 0], cy), cinf[..., 0])
-        # D_lo = sum_hi B[hi, lo]  (reduce hi axis)
-        dx, dy, dinf = _tree_reduce_axis(ops, (gx, gy, ginf), _GRID_HI, 0)
+        # D_lo = sum_hi B[w, hi, lo]  (reduce hi axis, batched over w)
+        dx, dy, dinf = _tree_reduce_axis(ops, (gx, gy, ginf), _GRID_HI, -2)
         D_lo = _jacobianize(
             ops,
             _tmap(lambda a: jnp.take(a, 0, axis=-2), dx),
-            _tmap(lambda a: jnp.take(a, 0, axis=-2), dy), dinf[0])
+            _tmap(lambda a: jnp.take(a, 0, axis=-2), dy), dinf[..., 0, :])
 
-        W_hi = _weighted_small(ops, C_hi, _GRID_HI)     # sum hi * C_hi
-        W_lo = _weighted_small(ops, D_lo, _GRID_LO)     # sum lo * D_lo
+        W_hi = _weighted_small(ops, C_hi, _GRID_HI)     # (NL, wg, 1)
+        W_lo = _weighted_small(ops, D_lo, _GRID_LO)
 
         # total = 256 * W_hi + W_lo
         def dbl_body(_, P):
@@ -481,10 +578,15 @@ def _msm_affine_program(ops, coords, scalar_limbs, schedule):
 
         W_hi = jax.lax.fori_loop(0, 8, dbl_body, W_hi)
         total = CRV.jac_add(ops, W_hi, W_lo)
+        total = _tmap(lambda a: a[..., 0], total)       # (NL, wg) coords
         return carry, total
 
-    _, totals = jax.lax.scan(window, 0, sdig)
-    return totals
+    if g_cnt == 1:
+        _, totals = group(0, sdig.reshape(wg, n))
+        return _tmap(lambda a: a, totals)               # (NL, W)
+    _, tot = jax.lax.scan(group, 0, sdig.reshape(g_cnt, wg, n))
+    # (G, NL, wg) -> (NL, G*wg) = (NL, W)
+    return _tmap(lambda a: jnp.moveaxis(a, 0, 1).reshape(a.shape[1], w), tot)
 
 
 # ---------------------------------------------------------------------------
@@ -530,23 +632,17 @@ class MSMBases:
                        for i, s in enumerate(scalars)]
         scalars = scalars + [0] * (self.n2 - len(scalars))
         limbs = jnp.asarray(L.pack_ints(fr, scalars))
-        schedule = _pass_schedule(self.n2)
         totals = _msm_affine_program(self.ops, (self.X, self.Y, self.Yneg),
-                                     limbs, schedule)
+                                     limbs)
         return _combine_windows(curve, self.ops, totals, self.group)
 
 
 def _combine_windows(curve, ops, totals, group):
+    """totals: per-window Jacobian coords of shape (NL, W)."""
     from ..fields import curves as CV
     windows = curve.fr.nl
 
-    # totals coords have shape (W, NL, 1); flatten to (NL, W)
-    def flat(x):
-        if isinstance(x, tuple):
-            return tuple(flat(xx) for xx in x)
-        return jnp.transpose(x, (1, 0, 2)).reshape(x.shape[1], windows)
-
-    pts = CRV.to_affine_host(ops, tuple(flat(t) for t in totals))
+    pts = CRV.to_affine_host(ops, totals)
     host_add = (lambda a, b: CV.g1_add(curve, a, b)) if group == "g1" \
         else (lambda a, b: CV.g2_add(curve, a, b))
     host_mul = (lambda a, k: CV.g1_mul(curve, a, k)) if group == "g1" \
