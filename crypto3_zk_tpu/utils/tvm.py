@@ -116,3 +116,136 @@ def verifier_input_from_bytes(curve, b: bytes):
     primary, b = primary_input_from_bytes(curve, b)
     vk, b = verification_key_from_bytes(curve, b)
     return vk, primary, proof
+
+
+# --- linear combinations / constraint system (`marshalling.hpp:1028-1073`) --
+
+def _lc_to_bytes(curve, lc) -> bytes:
+    out = [BC.size_to_bytes(len(lc.terms))]
+    for idx, coeff in lc.terms:
+        out.append(BC.size_to_bytes(idx))
+        out.append(BC.fr_to_bytes(curve, coeff))
+    return b"".join(out)
+
+
+def _lc_from_bytes(curve, b: bytes, off: int):
+    from ..arithmetization.r1cs import LinearCombination
+
+    nb = (curve.fr.bits + 7) // 8
+    n = BC.size_from_bytes(b[off:off + 4])
+    off += 4
+    terms = []
+    for _ in range(n):
+        idx = BC.size_from_bytes(b[off:off + 4])
+        coeff = BC.fr_from_bytes(curve, b[off + 4:off + 4 + nb])
+        terms.append((idx, coeff))
+        off += 4 + nb
+    return LinearCombination(terms), off
+
+
+def constraint_system_to_bytes(curve, cs) -> bytes:
+    """primary size || auxiliary size || constraint count || per
+    constraint: byteblob size || a || b || c."""
+    nb = (curve.fr.bits + 7) // 8
+    out = [BC.size_to_bytes(cs.primary_input_size),
+           BC.size_to_bytes(cs.auxiliary_input_size),
+           BC.size_to_bytes(len(cs.constraints))]
+    for rc in cs.constraints:
+        blob_size = sum(len(l.terms) * (4 + nb) for l in (rc.a, rc.b, rc.c)) \
+            + 3 * 4
+        out.append(BC.size_to_bytes(blob_size))
+        out.extend(_lc_to_bytes(curve, l) for l in (rc.a, rc.b, rc.c))
+    return b"".join(out)
+
+
+def constraint_system_from_bytes(curve, b: bytes, off: int = 0):
+    from ..arithmetization.r1cs import R1CSConstraint, R1CSConstraintSystem
+
+    primary = BC.size_from_bytes(b[off:off + 4])
+    auxiliary = BC.size_from_bytes(b[off + 4:off + 8])
+    count = BC.size_from_bytes(b[off + 8:off + 12])
+    off += 12
+    constraints = []
+    for _ in range(count):
+        off += 4                       # per-constraint byteblob size
+        a, off = _lc_from_bytes(curve, b, off)
+        bb, off = _lc_from_bytes(curve, b, off)
+        c, off = _lc_from_bytes(curve, b, off)
+        constraints.append(R1CSConstraint(a, bb, c))
+    return R1CSConstraintSystem(primary, auxiliary, constraints), off
+
+
+# --- proving key (`marshalling.hpp:656-738` read / `:1100-1163` write) ------
+
+def proving_key_to_bytes(curve, pk) -> bytes:
+    out = [BC.g1_to_bytes(curve, pk.alpha_g1),
+           BC.g1_to_bytes(curve, pk.beta_g1),
+           BC.g2_to_bytes(curve, pk.beta_g2),
+           BC.g1_to_bytes(curve, pk.delta_g1),
+           BC.g2_to_bytes(curve, pk.delta_g2),
+           BC.size_to_bytes(len(pk.A_query))]
+    out.extend(BC.g1_to_bytes(curve, pt) for pt in pk.A_query)
+    # B_query as a sparse knowledge-commitment vector (g2 || g1 per entry)
+    idxs = [i for i in range(len(pk.B_query_g2))
+            if pk.B_query_g2[i] is not None or pk.B_query_g1[i] is not None]
+    kc_blob = [BC.size_to_bytes(len(idxs))]
+    kc_blob.extend(BC.size_to_bytes(i) for i in idxs)
+    for i in idxs:
+        kc_blob.append(BC.g2_to_bytes(curve, pk.B_query_g2[i]))
+        kc_blob.append(BC.g1_to_bytes(curve, pk.B_query_g1[i]))
+    kc_blob.append(BC.size_to_bytes(len(pk.B_query_g2)))   # domain size
+    kc = b"".join(kc_blob)
+    out.append(BC.size_to_bytes(len(kc)))
+    out.append(kc)
+    for q in (pk.H_query, pk.L_query):
+        out.append(BC.size_to_bytes(len(q)))
+        out.extend(BC.g1_to_bytes(curve, pt) for pt in q)
+    out.append(constraint_system_to_bytes(curve, pk.constraint_system))
+    return b"".join(out)
+
+
+def proving_key_from_bytes(curve, b: bytes):
+    from ..models.groth16 import ProvingKey
+
+    nb = (curve.fq.bits + 7) // 8
+    off = 0
+    alpha_g1 = BC.g1_from_bytes(curve, b[off:off + nb]); off += nb
+    beta_g1 = BC.g1_from_bytes(curve, b[off:off + nb]); off += nb
+    beta_g2 = BC.g2_from_bytes(curve, b[off:off + 2 * nb]); off += 2 * nb
+    delta_g1 = BC.g1_from_bytes(curve, b[off:off + nb]); off += nb
+    delta_g2 = BC.g2_from_bytes(curve, b[off:off + 2 * nb]); off += 2 * nb
+    na = BC.size_from_bytes(b[off:off + 4]); off += 4
+    A_query = []
+    for _ in range(na):
+        A_query.append(BC.g1_from_bytes(curve, b[off:off + nb]))
+        off += nb
+    kc_size = BC.size_from_bytes(b[off:off + 4]); off += 4
+    kc_end = off + kc_size
+    cnt = BC.size_from_bytes(b[off:off + 4]); off += 4
+    idxs = [BC.size_from_bytes(b[off + 4 * i:off + 4 * (i + 1)])
+            for i in range(cnt)]
+    off += 4 * cnt
+    pairs = []
+    for _ in range(cnt):
+        g2 = BC.g2_from_bytes(curve, b[off:off + 2 * nb]); off += 2 * nb
+        g1 = BC.g1_from_bytes(curve, b[off:off + nb]); off += nb
+        pairs.append((g2, g1))
+    domain = BC.size_from_bytes(b[off:off + 4]); off += 4
+    assert off == kc_end, "kc vector size mismatch"
+    B_query_g2 = [None] * domain
+    B_query_g1 = [None] * domain
+    for i, (g2, g1) in zip(idxs, pairs):
+        B_query_g2[i] = g2
+        B_query_g1[i] = g1
+    queries = []
+    for _ in range(2):                     # H_query, L_query
+        n = BC.size_from_bytes(b[off:off + 4]); off += 4
+        q = []
+        for _ in range(n):
+            q.append(BC.g1_from_bytes(curve, b[off:off + nb]))
+            off += nb
+        queries.append(q)
+    cs, off = constraint_system_from_bytes(curve, b, off)
+    return ProvingKey(curve, cs, alpha_g1, beta_g1, beta_g2, delta_g1,
+                      delta_g2, A_query, B_query_g1, B_query_g2,
+                      queries[0], queries[1])
