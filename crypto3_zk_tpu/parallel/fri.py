@@ -62,3 +62,34 @@ def distributed_precommit(polys: list[PolyDFS], D, fri_step: int,
     digests = sharded(rows)                              # (NL, leafs)
     tree = MerkleTree.from_leaf_digests_dev(hasher, digests)
     return Precommitment(tree, values, D.n, fri_step)
+
+
+def distributed_query_gather(values: jnp.ndarray, need_idx, mesh: Mesh,
+                             axis: str = "x") -> jnp.ndarray:
+    """Serve FRI query-phase value gathers from LEAF-RANGE-SHARDED tables
+    (SURVEY.md §2.7 "FRI query sharding"): `values` (B, NL, N) shards its
+    last axis over `mesh[axis]`; each device gathers the requested indices
+    that fall in its contiguous range (others contribute zeros) and one
+    `psum` assembles the full (B, NL, K) answer on every device — the
+    distributed counterpart of the single-chip batched gather in
+    `fri.proof_eval` (one device op for all lambda queries)."""
+    n = values.shape[-1]
+    d = mesh.shape[axis]
+    assert n % d == 0
+    per = n // d
+    idx = jnp.asarray(need_idx, dtype=jnp.int32)
+
+    def local(vals_shard):
+        me = jax.lax.axis_index(axis)
+        lo = me * per
+        local_ix = idx - lo
+        mine = (local_ix >= 0) & (local_ix < per)
+        safe = jnp.where(mine, local_ix, 0)
+        got = jnp.take(vals_shard, safe, axis=-1)        # (B, NL, K)
+        got = jnp.where(mine[None, None, :], got, 0)
+        return jax.lax.psum(got, axis)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(None, None, axis),),
+                     out_specs=P(None, None, None),
+                     check_vma=False)(values)

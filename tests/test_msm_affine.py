@@ -55,3 +55,87 @@ def test_msm_affine_infinity_bases_and_reuse():
                   if pts[i] is not None) % CURVE.fr.p
         assert bases.run(sc) == CV.g1_mul(CURVE, CURVE.g1, tot)
     assert bases.run([0] * n) is None
+
+
+def _pass_stack_case(pallas: bool):
+    """Sort + halving-pass stack against exact per-bucket host sums at a
+    tiny shape (full-program compile stays in the ZK_SLOW tests; the grid
+    merge is exercised on TPU every round by the bench)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from crypto3_zk_tpu.ops import curve as CRV
+    from crypto3_zk_tpu.ops import limbs as L
+    from crypto3_zk_tpu.ops import msm_affine as MA
+
+    r = random.Random(5)
+    fs = CURVE.fq
+    ops = CRV.FqOps(fs)
+    n, wg = 64, 2
+    size0 = wg * n
+    pts = [CV.g1_mul(CURVE, CURVE.g1, r.randrange(1, 30)) for _ in range(n)]
+    pts[3] = pts[2]
+    pts[4] = (pts[2][0], (-pts[2][1]) % fs.p)
+    digs = [[r.randrange(-4, 5) for _ in range(n)] for _ in range(wg)]
+    for j in range(20):
+        digs[1][j] = 3                      # fully-skewed run
+
+    X = jnp.asarray(np.stack([np.asarray(l) for l in
+                              L.encode(fs, [pt[0] for pt in pts])]))
+    Y = jnp.asarray(np.stack([np.asarray(l) for l in
+                              L.encode(fs, [pt[1] for pt in pts])]))
+    YY = jnp.concatenate([Y, ops.neg(Y)], axis=-1)
+    sw = jnp.asarray(np.array(digs, dtype=np.int32))
+    bucket = jnp.abs(sw)
+    wloc = jnp.arange(wg, dtype=jnp.int32)[:, None]
+    key = jnp.where(bucket == 0, MA._DEAD,
+                    (wloc << 16) | bucket).reshape(size0)
+    sign = (sw < 0).astype(jnp.int32).reshape(size0)
+    keys, perm = MA._bitonic_sort(key)
+    state = (MA._take(X, perm % n),
+             MA._take(YY, (perm % n) + n * sign[perm]), keys)
+    old = os.environ.get("ZK_TPU_PALLAS_MSM")
+    os.environ["ZK_TPU_PALLAS_MSM"] = "1" if pallas else "0"
+    try:
+        for (in_size, out_size) in MA._pass_schedule(size0, wg):
+            state = MA._one_pass(ops, state, in_size, out_size)
+    finally:
+        if old is None:
+            os.environ.pop("ZK_TPU_PALLAS_MSM", None)
+        else:
+            os.environ["ZK_TPU_PALLAS_MSM"] = old
+    x, y, k = state
+    k_np = np.asarray(k)
+    xd, yd = L.decode(fs, x), L.decode(fs, y)
+
+    sums = {}
+    for w in range(wg):
+        for j in range(n):
+            d = digs[w][j]
+            if d == 0:
+                continue
+            pt = pts[j] if d > 0 else (pts[j][0], (-pts[j][1]) % fs.p)
+            kk = (w << 16) | abs(d)
+            sums[kk] = CV.g1_add(CURVE, sums.get(kk), pt)
+    seen = {}
+    for i in range(len(k_np)):
+        kk = int(k_np[i])
+        if kk == MA._DEAD:
+            continue
+        assert kk not in seen
+        seen[kk] = (xd[i], yd[i])
+    for kk, pt in sums.items():
+        if pt is None:
+            assert kk not in seen
+        else:
+            assert seen.get(kk) == pt, f"bucket {kk:x} wrong"
+    for kk in seen:
+        assert sums.get(kk) is not None
+
+
+def test_msm_affine_pass_stack_exact():
+    _pass_stack_case(pallas=False)
+
+
+def test_msm_affine_pass_stack_exact_pallas_interpret():
+    _pass_stack_case(pallas=True)

@@ -108,3 +108,26 @@ def test_distributed_fri_precommit_matches_single(mesh):
     ref = FRI.precommit(polys, D0, step, params)
     assert pre.root() == ref.root()
     assert pre.tree.proof(3) == ref.tree.proof(3)
+
+
+def test_distributed_fri_query_gather(mesh):
+    """Leaf-range-sharded query serving matches the replicated gather."""
+    import numpy as np
+
+    from crypto3_zk_tpu.commitments import fri as FRI
+    from crypto3_zk_tpu.parallel.fri import (distributed_precommit,
+                                             distributed_query_gather)
+    from crypto3_zk_tpu.poly.polynomial import Poly, PolyDFS
+
+    fs = FS
+    params = FRI.FRIParams.build(fs, degree_log=6, expand_factor=2,
+                                 lambda_=4, merkle_hash="poseidon")
+    rng = random.Random(12)
+    f = PolyDFS.from_poly(Poly.from_ints(
+        fs, [rng.randrange(fs.p) for _ in range(64)]))
+    pre = distributed_precommit([f], params.D[0], params.step_list[0],
+                                params, mesh, "x")
+    need = sorted(rng.sample(range(params.D[0].n), 17))
+    got = distributed_query_gather(pre.values, need, mesh, "x")
+    want = pre.values[:, :, np.asarray(need)]
+    assert (np.asarray(got) == np.asarray(want)).all()
