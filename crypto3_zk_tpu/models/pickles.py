@@ -184,12 +184,88 @@ def evaluate_polish(tokens: list[PolishToken], domain: Domain, pt: int,
 CHALLENGE_LENGTH_IN_LIMBS = 2   # 128-bit challenges (2 x 64-bit limbs)
 
 
-class KimchiSponge:
-    """Fq/Fr sponge with 128-bit limb challenges and endo-scalar mapping."""
+@dataclasses.dataclass(frozen=True)
+class MinaSpongeParams:
+    """Mina/kimchi Poseidon parameters (55 full rounds, x^7 S-box, width
+    3, rate 2) — the fr/fq `sponge_params` the reference loads from its
+    Mina-exported fixture (`data/kimchi_const.json`)."""
+    p: int
+    mds: tuple            # 3x3
+    round_constants: tuple  # 55 x 3
 
-    def __init__(self, fs: FieldSpec):
+    @classmethod
+    def from_json(cls, p: int, obj: dict) -> "MinaSpongeParams":
+        return cls(p=p,
+                   mds=tuple(tuple(int(x, 16) for x in row)
+                             for row in obj["mds"]),
+                   round_constants=tuple(tuple(int(x, 16) for x in row)
+                                         for row in obj["round_constants"]))
+
+
+class MinaSponge:
+    """Mina's ArithmeticSponge automaton (proof-systems/poseidon): rate-2
+    absorb positions, squeeze positions, permutation = 55 rounds of
+    {x^7 S-box; MDS; + round constants}. Duck-types `PoseidonSponge`."""
+
+    RATE = 2
+
+    def __init__(self, params: MinaSpongeParams):
+        self.params = params
+        self.state = [0, 0, 0]
+        self.pos = 0
+        self.squeezing = False
+
+    def _permute(self):
+        p = self.params.p
+        mds = self.params.mds
+        st = self.state
+        for rc in self.params.round_constants:
+            s0 = pow(st[0], 7, p)
+            s1 = pow(st[1], 7, p)
+            s2 = pow(st[2], 7, p)
+            st = [(mds[i][0] * s0 + mds[i][1] * s1 + mds[i][2] * s2
+                   + rc[i]) % p for i in range(3)]
+        self.state = st
+
+    def absorb(self, v: int):
+        if self.squeezing:
+            self.squeezing = False
+            self.pos = 0
+        if self.pos == self.RATE:
+            self._permute()
+            self.pos = 0
+        self.state[self.pos] = (self.state[self.pos] + v) % self.params.p
+        self.pos += 1
+
+    def squeeze(self) -> int:
+        if not self.squeezing or self.pos == self.RATE:
+            self._permute()
+            self.squeezing = True
+            self.pos = 0
+        out = self.state[self.pos]
+        self.pos += 1
+        return out
+
+    def clone(self) -> "MinaSponge":
+        other = MinaSponge(self.params)
+        other.state = list(self.state)
+        other.pos = self.pos
+        other.squeezing = self.squeezing
+        return other
+
+
+class KimchiSponge:
+    """Fq/Fr sponge with 128-bit limb challenges and endo-scalar mapping.
+    With `params` (Mina fixture constants) the sponge is bit-compatible
+    with kimchi; without, a self-consistent Poseidon stands in (synthetic
+    indexes/tests)."""
+
+    def __init__(self, fs: FieldSpec,
+                 params: "MinaSpongeParams | None" = None):
         self.fs = fs
-        self.sponge = PoseidonSponge(fs)
+        self.params = params
+        self.sponge = MinaSponge(params) if params is not None \
+            else PoseidonSponge(fs)
 
     def absorb_fr(self, v: int):
         self.sponge.absorb(v % self.fs.p)
@@ -251,6 +327,9 @@ class VerifierIndex:
     endo: int
     linearization: Linearization
     powers_of_alpha: Alphas
+    # Mina fixture sponge constants (None -> self-consistent Poseidon)
+    fq_sponge_params: "MinaSpongeParams | None" = None
+    fr_sponge_params: "MinaSpongeParams | None" = None
 
 
 @dataclasses.dataclass
@@ -298,8 +377,9 @@ class FqSponge(KimchiSponge):
     """`DefaultFqSponge`: absorbs curve points over the base field and
     squeezes 128-bit scalar challenges, optionally endo-mapped into Fr."""
 
-    def __init__(self, fq: FieldSpec, fr_p: int):
-        super().__init__(fq)
+    def __init__(self, fq: FieldSpec, fr_p: int,
+                 params: "MinaSpongeParams | None" = None):
+        super().__init__(fq, params)
         self.fr_p = fr_p
 
     def absorb_comm(self, comm):
@@ -312,10 +392,13 @@ class FqSponge(KimchiSponge):
             self.fr_p, endo_r)
 
     def copy(self) -> "FqSponge":
-        other = FqSponge(self.fs, self.fr_p)
-        other.sponge.state = list(self.sponge.state)
-        other.sponge.buffer = list(self.sponge.buffer)
-        other.sponge._fresh_output = self.sponge._fresh_output
+        other = FqSponge(self.fs, self.fr_p, self.params)
+        if isinstance(self.sponge, MinaSponge):
+            other.sponge = self.sponge.clone()
+        else:
+            other.sponge.state = list(self.sponge.state)
+            other.sponge.buffer = list(self.sponge.buffer)
+            other.sponge._fresh_output = self.sponge._fresh_output
         return other
 
 
@@ -453,7 +536,7 @@ def oracles(proof: PicklesProof, index: VerifierIndex,
     n = index.domain.n
     omega = index.domain.omega
 
-    fq_sponge = FqSponge(curve.fq, p)
+    fq_sponge = FqSponge(curve.fq, p, index.fq_sponge_params)
     fq_sponge.absorb_comm(p_comm)
     for c in proof.commitments.w_comm:
         fq_sponge.absorb_comm(c)
@@ -468,7 +551,7 @@ def oracles(proof: PicklesProof, index: VerifierIndex,
     zeta = fq_sponge.squeeze_challenge_field(index.endo)
 
     digest = fq_sponge.copy().digest(curve.fr)
-    fr_sponge = FrSponge(curve.fr)
+    fr_sponge = FrSponge(curve.fr, index.fr_sponge_params)
     fr_sponge.absorb_fr(digest)
 
     zeta1 = pow(zeta, n, p)
@@ -737,7 +820,7 @@ def synthetic_prove(index: VerifierIndex, group_map,
     t_comm = KP.PolyComm([c.unshifted[0] for c, _b in t_chunks])
     t_blinds = [b.unshifted[0] for _c, b in t_chunks]
 
-    fq_sponge = FqSponge(curve.fq, p)
+    fq_sponge = FqSponge(curve.fq, p, index.fq_sponge_params)
     fq_sponge.absorb_comm(p_comm)
     for c, _b in w_committed:
         fq_sponge.absorb_comm(c)
@@ -792,7 +875,7 @@ def synthetic_prove(index: VerifierIndex, group_map,
     ft_blind = (f_blind - t_blind_chunked * (zeta1 - 1)) % p
     ft_eval1 = _eval_poly_coeffs(f_coeffs, zetaw, p)
 
-    fr_sponge = FrSponge(curve.fr)
+    fr_sponge = FrSponge(curve.fr, index.fr_sponge_params)
     fr_sponge.absorb_fr(digest)
     for i in range(2):
         fr_sponge.absorb_evaluations(p_eval[i], evals[i])

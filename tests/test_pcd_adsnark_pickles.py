@@ -225,3 +225,61 @@ def test_pickles_batch_verify_e2e():
     m = copy.deepcopy(proof)
     m.public_input = [1, 0]
     assert not PI.verify(gmap, index, m)
+
+
+REF_PICKLES_DATA = "/root/reference/test/systems/plonk/pickles/data"
+
+
+def test_mina_fixture_parses_and_validates():
+    """The Mina-exported blockchain proof fixture the reference ships
+    (`data/kimchi.json`) loads into our pickles structures with every
+    point on Pallas and the index shape contract satisfied."""
+    import os.path
+
+    import pytest
+
+    from crypto3_zk_tpu.models import pickles_fixtures as PF
+
+    path = os.path.join(REF_PICKLES_DATA, "kimchi.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixture tree not mounted")
+    vk, proof = PF.load_fixture(path)
+    assert vk.domain_log2 == 15
+    assert PF.validate_on_pallas(vk, proof)
+    # negative: corrupt one commitment point off-curve
+    bad_x, bad_y = proof.w_comm[0].unshifted[0]
+    proof.w_comm[0].unshifted[0] = (bad_x, (bad_y + 1))
+    assert not PF.validate_on_pallas(vk, proof)
+
+
+def test_pickles_batch_verify_with_mina_sponge_constants():
+    """to_batch/batch_verify under Mina's REAL fq/fr Poseidon constants
+    (`data/kimchi_const.json` -> MinaSponge, 55 full rounds, x^7): honest
+    synthetic proof accepted, mutated one rejected — the sponge swap flows
+    through oracles, the fr evaluation sponge, and the IPA challenges."""
+    import copy
+    import os.path
+
+    import pytest
+
+    from crypto3_zk_tpu.commitments import kimchi_pedersen as KP
+    from crypto3_zk_tpu.commitments.ipa import PALLAS
+    from crypto3_zk_tpu.fields.group_map import GroupMap
+    from crypto3_zk_tpu.models import pickles as PI
+    from crypto3_zk_tpu.models import pickles_fixtures as PF
+
+    const_path = os.path.join(REF_PICKLES_DATA, "kimchi_const.json")
+    if not os.path.exists(const_path):
+        pytest.skip("reference fixture tree not mounted")
+    fr_params, fq_params = PF.load_sponge_params(const_path)
+    rng = random.Random(77)
+    srs = KP.setup(PALLAS, 16, rng=rng)
+    gmap = GroupMap(PALLAS.fq, 0, 5)
+    index = PI.synthetic_index(srs, 16, rng)
+    index.fr_sponge_params = fr_params
+    index.fq_sponge_params = fq_params
+    proof = PI.synthetic_prove(index, gmap, rng)
+    assert PI.verify(gmap, index, proof)
+    m = copy.deepcopy(proof)
+    m.ft_eval1 = (m.ft_eval1 + 1) % PALLAS.fr.p
+    assert not PI.verify(gmap, index, m)
