@@ -167,9 +167,23 @@ class MerkleTree:
         self.hasher = hasher
         if (hasher.kind == "field" and leaf_rows_dev is not None
                 and leaf_rows_dev.shape[-1] >= _DEVICE_LEVEL_MIN):
-            # leaf_rows_dev: (k, NL, n_leaves); sponge + levels fused
-            self.levels_dev = list(_field_tree_program(
-                hasher.pp, hasher.fs, leaf_rows_dev))
+            from ..utils import fusion as _fusion
+            if _fusion.fused_phases_enabled():
+                # leaf_rows_dev: (k, NL, n_leaves); sponge + levels fused
+                self.levels_dev = list(_field_tree_program(
+                    hasher.pp, hasher.fs, leaf_rows_dev))
+            else:
+                # XLA:CPU compiles the fused whole-tree program
+                # pathologically at large leaf counts; per-level kernels
+                # compile in seconds there
+                digests = hasher.leaf_hash_rows(leaf_rows_dev)
+                self.levels_dev = [digests]
+                n = digests.shape[-1]
+                while n > max(1, _DEVICE_LEVEL_MIN):
+                    cur = self.levels_dev[-1]
+                    self.levels_dev.append(
+                        hasher.node_hash(cur[..., 0::2], cur[..., 1::2]))
+                    n //= 2
             # finish on host
             from ..ops import limbs as _L
             top = _L.decode(hasher.fs, self.levels_dev[-1])
