@@ -231,3 +231,10 @@ def test_placeholder_circuit4_rejects_nonmember_lookup():
     vscheme = LPCScheme(fri_params)
     assert not verify(params, pub.common_data, proof, desc, cs, vscheme,
                       public_input=public_input)
+
+
+def test_placeholder_pallas_field():
+    """Pallas-field runner (the reference's placeholder.cpp:271-1296
+    instantiates its circuits over the pallas base field with poseidon)."""
+    from crypto3_zk_tpu.fields.params import PALLAS_FR
+    assert _run_with(circuit_1, PALLAS_FR, "keccak_256", "poseidon")
