@@ -215,6 +215,52 @@ def prove(pk: ProvingKey, primary: list[int], aux: list[int],
     return Proof(g_A=g1_A, g_B=g2_B, g_C=g1_C)
 
 
+@dataclasses.dataclass
+class ProcessedVerificationKey:
+    """`r1cs_gg_ppzksnark_process_verification_key` output
+    (verifier.hpp:78-99): the verifier-side constants lifted out of the
+    per-proof path. Pairing "precomputation" here is the GT constant plus
+    the fixed G2 operands (host pairings are exact-int; there is no
+    Miller-precomp table to cache)."""
+    curve: CV.CurveSpec
+    vk_alpha_g1_beta_g2: tuple
+    vk_gamma_g2: tuple
+    vk_delta_g2: tuple
+    gamma_ABC_g1: list
+
+
+def process_verification_key(vk: VerificationKey) -> ProcessedVerificationKey:
+    return ProcessedVerificationKey(vk.curve, vk.alpha_g1_beta_g2,
+                                    vk.gamma_g2, vk.delta_g2,
+                                    list(vk.gamma_ABC_g1))
+
+
+def online_verify_weak_ic(pvk: ProcessedVerificationKey, primary: list[int],
+                          proof: Proof) -> bool:
+    """`r1cs_gg_ppzksnark_online_verifier_weak_input_consistency`
+    (verifier.hpp:188-260)."""
+    vk = VerificationKey(pvk.curve, pvk.vk_alpha_g1_beta_g2, pvk.vk_gamma_g2,
+                         pvk.vk_delta_g2, pvk.gamma_ABC_g1)
+    return verify(vk, primary, proof)
+
+
+def verify_strong_ic(vk: VerificationKey, primary: list[int],
+                     proof: Proof) -> bool:
+    """`r1cs_gg_ppzksnark_verifier_strong_input_consistency`
+    (verifier.hpp:262-330): requires |primary| == CS.num_inputs exactly;
+    the weak variant zero-pads shorter inputs."""
+    if len(primary) + 1 != len(vk.gamma_ABC_g1):
+        return False
+    return verify(vk, primary, proof)
+
+
+def online_verify_strong_ic(pvk: ProcessedVerificationKey,
+                            primary: list[int], proof: Proof) -> bool:
+    if len(primary) + 1 != len(pvk.gamma_ABC_g1):
+        return False
+    return online_verify_weak_ic(pvk, primary, proof)
+
+
 def verify(vk: VerificationKey, primary: list[int], proof: Proof) -> bool:
     """`r1cs_gg_ppzksnark_verifier_weak_input_consistency` (verifier.hpp:
     138-187): e(A,B) * e(-acc,gamma) * e(-C,delta) == e(alpha,beta)."""

@@ -77,3 +77,28 @@ def test_groth16_zk_randomness_varies_proof():
     assert p1.g_A != p2.g_A
     assert G16.verify(kp.vk, primary, p1)
     assert G16.verify(kp.vk, primary, p2)
+
+
+def test_groth16_verifier_variants():
+    """The reference's four-verifier matrix (`run_r1cs_gg_ppzksnark.hpp:79-`):
+    weak/strong input consistency x plain/online (processed vk)."""
+    from crypto3_zk_tpu.models.groth16 import (online_verify_strong_ic,
+                                               online_verify_weak_ic,
+                                               process_verification_key,
+                                               verify_strong_ic)
+
+    curve = CV.ALT_BN128
+    cs = R.R1CSConstraintSystem(primary_input_size=2, auxiliary_input_size=1)
+    cs.add_constraint(R.lc((1, 1)), R.lc((2, 1)), R.lc((3, 1)))
+    kp = G16.generate(curve, cs, rng=random.Random(44))
+    primary = [3, 5]
+    proof = G16.prove(kp.pk, primary, [15], rng=random.Random(45))
+    pvk = process_verification_key(kp.vk)
+    assert G16.verify(kp.vk, primary, proof)
+    assert verify_strong_ic(kp.vk, primary, proof)
+    assert online_verify_weak_ic(pvk, primary, proof)
+    assert online_verify_strong_ic(pvk, primary, proof)
+    # weak IC zero-pads a short primary input; strong rejects it
+    short = [3]
+    assert not verify_strong_ic(kp.vk, short, proof)
+    assert not online_verify_strong_ic(pvk, short, proof)
