@@ -1,11 +1,13 @@
 """Batched-affine Pippenger MSM (`ops/msm_affine.py`).
 
-The single n2=512 program takes ~18 min of XLA:CPU compile (16-bit signed
-windows => a 129x256 bucket-merge grid regardless of n), so these tests
-run only when ZK_SLOW=1 (warm persistent cache or real patience). The
-same code paths are exercised every round by the TPU bench and were
-oracle-verified at n=512 (incl. edge scalars 0/1/p-1, duplicate and
-negated points) and n=2^17 (shrinking pass schedule) on 2026-08-17.
+The full-program tests (single n2=512 program: sort + halving passes +
+129x256 bucket-merge grid) cost ~20-60 min of XLA:CPU compile on a cold
+cache, so they run only when ZK_SLOW=1. Both passed on 2026-08-18 with
+the round-2 gather-compaction passes (edge scalars 0/1/p-1, duplicate and
+negated points, infinity bases, base reuse, all-zero scalars). The
+always-on pass-stack tests below pin the sort + halving machinery against
+exact host bucket sums for the XLA and Pallas-interpret paths; the TPU
+bench exercises the full program every round.
 """
 import os
 import random
