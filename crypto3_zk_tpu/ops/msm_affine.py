@@ -10,14 +10,18 @@ multiplication work:
 
 - scalars are recoded into SIGNED 16-bit digits (one digit per 16-bit
   scalar limb, negative digits negate the point), halving the bucket count;
-- per window, points are grouped by bucket with an ON-DEVICE 1-bit LSD
-  radix sort (16 passes of int32 cumsum + scatter — no host sort, no
-  per-window index shipping through the device tunnel);
-- bucket sums form by log2(N) HALVING PASSES: in sorted order, the element
-  with even in-bucket rank pairs with its right neighbour; all pairs add
-  with the shared-inversion affine formula; survivors compact with a
-  cumsum scatter. Pass sizes shrink on a static schedule (correct for any
-  digit skew, including all-equal scalars);
+- all windows of a group flatten into one lane array keyed
+  (window << 16) | bucket and sort with an on-device BITONIC network
+  (rolls + selects; TPU scatter-based sorts are serial) — no host sort,
+  no per-window index shipping through the device tunnel;
+- bucket sums form by HALVING PASSES: the element with even in-bucket
+  rank pairs with its right neighbour; all pairs add with the
+  shared-inversion affine formula; cancellations become dead lanes;
+  survivors compact via an int32 iota-scatter + coordinate GATHER
+  (coordinate-plane scatters measured ~8x slower than gathers on TPU).
+  Pass sizes shrink on the provable live-count bound, equal shapes
+  coalesced into fori_loop bodies (every distinct shape is an XLA
+  compile). Correct for any digit skew, including all-equal scalars;
 - the weighted bucket merge sum_j j*B_j is split j = 256*hi + lo so the
   big grid reduces with cheap affine tree-reductions and only two tiny
   (129/256-lane) Jacobian weighted scans remain.
@@ -47,6 +51,9 @@ _GRID_LO = 256          # j = 256*hi + lo bucket-merge split
 _GRID_HI = 129          # buckets 0..2^15 -> hi in 0..128
 _GRID = _GRID_LO * _GRID_HI
 _INV_CHUNK = 64         # sequential-chunk width of the batched inversion
+_LANES_CAP = 1 << 23    # max flattened (windows x points) lanes per group:
+                        # bounds peak HBM (~6 coord-sized temporaries) while
+                        # amortizing per-pass fixed latency over 8+ windows
 
 
 def _pallas_pass_enabled() -> bool:
@@ -56,9 +63,6 @@ def _pallas_pass_enabled() -> bool:
     compile-cached."""
     import os
     return os.environ.get("ZK_TPU_PALLAS_MSM", "") not in ("", "0")
-_LANES_CAP = 1 << 23    # max flattened (windows x points) lanes per group:
-                        # bounds peak HBM (~6 coord-sized temporaries) while
-                        # amortizing per-pass fixed latency over 8+ windows
 
 
 # ---------------------------------------------------------------------------
@@ -77,10 +81,6 @@ def _roll(x, d, axis=-1):
 
 def _take(x, idx, axis=-1):
     return _tmap(lambda a: jnp.take(a, idx, axis=axis), x)
-
-
-def _slice_last(x, n):
-    return _tmap(lambda a: a[..., :n], x)
 
 
 def _scatter_last(dst, idx, src):
