@@ -65,6 +65,15 @@ def _pallas_pass_enabled() -> bool:
     return os.environ.get("ZK_TPU_PALLAS_MSM", "") not in ("", "0")
 
 
+def _pallas_inv_enabled() -> bool:
+    """VMEM-resident batched-inversion chunk scans. Separate knob: in
+    interpret mode the in-kernel fori_loops execute per python step, far
+    too slow for the CPU oracle tests (the kernels have their own direct
+    interpret unit test); on TPU enable together with ZK_TPU_PALLAS_MSM."""
+    import os
+    return os.environ.get("ZK_TPU_PALLAS_INV", "") not in ("", "0")
+
+
 # ---------------------------------------------------------------------------
 # small tree helpers (coords are arrays for Fq, tuples of arrays for Fq2)
 # ---------------------------------------------------------------------------
@@ -152,6 +161,25 @@ def _batch_inverse_chunked(ops, x, size: int):
         return a.reshape(a.shape[:-1] + (C, K))
 
     xr = _tmap(resh, x)
+
+    if (_pallas_inv_enabled() and not isinstance(x, tuple)
+            and C % min(C, 64) == 0):
+        # VMEM-resident chunk scans: the XLA lax.scans below round-trip
+        # the carry through HBM on every one of the 2K steps
+        from . import pallas_msm as PM
+        interp = jax.default_backend() == "cpu"
+        one_m = L.ones_mont(ops.fs, (1,))
+        f_ex, g_ex, tot_f = PM.inv_scans_pallas(ops.fs, xr, one_m,
+                                                interpret=interp)
+        tpre_ex = _prefix_ex_roll(ops, tot_f, C)
+        tsuf_ex = _prefix_ex_roll(ops, tot_f, C, reverse=True)
+        tot_all = ops.mul(_take(tpre_ex, jnp.array([C - 1])),
+                          _take(tot_f, jnp.array([C - 1])))
+        tot_inv = _inv_one(ops, tot_all)
+        chunk_term = ops.mul(ops.mul(tpre_ex, tsuf_ex), tot_inv)
+        inv = PM.mul3_bcast_pallas(ops.fs, f_ex, g_ex, chunk_term,
+                                   interpret=interp)
+        return inv.reshape(x.shape)
     # move chunk-position axis first for lax.scan: (K, NL, C) views
     def tofront(a):
         return jnp.moveaxis(a, -1, 0)

@@ -146,3 +146,96 @@ def pair_combine_pallas(fs: FieldSpec, ax, ay, bx, by, inv_den, leader,
         interpret=interpret,
     )(ax, ay, bx, by, inv_den, lead, dblm)
     return nx, ny
+
+
+# ---------------------------------------------------------------------------
+# batched-inversion chunk scans in VMEM
+# ---------------------------------------------------------------------------
+
+_INV_K = 64       # chunk width (matches msm_affine._INV_CHUNK)
+_INV_CBLK = 64    # chunks per block: 3 x (NL, 64, 64) u32 ~ 3 MB VMEM
+
+
+def _inv_scan_kernel(fs, x_ref, one_ref, f_ref, g_ref, tot_ref):
+    """x: (NL, Cblk, K). Emits exclusive prefix products f, exclusive
+    suffix products g (both (NL, Cblk, K)) and chunk totals (NL, Cblk, 1)
+    — the VMEM-resident version of `_batch_inverse_chunked`'s two
+    lax.scans (the XLA scans round-trip the carry through HBM every
+    step). The K steps run as in-kernel fori_loops with dynamic stores so
+    the traced body stays one mont_mul, not K unrolled ones."""
+    k = x_ref.shape[-1]
+    one2 = one_ref[...]                       # (NL, 1)
+    acc0 = jnp.broadcast_to(one2, x_ref.shape[:-1])
+    full = (slice(None), slice(None))
+
+    def fwd(i, acc):
+        f_ref[full + (pl.dslice(i, 1),)] = acc[..., None]
+        x_i = x_ref[full + (pl.dslice(i, 1),)][..., 0]
+        return _mont_mul_value(fs, acc, x_i)
+
+    tot = jax.lax.fori_loop(0, k, fwd, acc0)
+    tot_ref[...] = tot[..., None]
+
+    def bwd(j, acc):
+        i = k - 1 - j
+        g_ref[full + (pl.dslice(i, 1),)] = acc[..., None]
+        x_i = x_ref[full + (pl.dslice(i, 1),)][..., 0]
+        return _mont_mul_value(fs, acc, x_i)
+
+    jax.lax.fori_loop(0, k, bwd, acc0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def inv_scans_pallas(fs: FieldSpec, x, one_mont, interpret: bool = False):
+    """x: (NL, C, K) nonzero Montgomery values; one_mont: (NL, 1).
+    Returns (f_ex, g_ex, chunk_tot)."""
+    nl, c, k = x.shape
+    cblk = min(c, _INV_CBLK)
+    assert c % cblk == 0, (c, cblk)
+    spec3 = pl.BlockSpec((nl, cblk, k), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    f, g, tot = pl.pallas_call(
+        functools.partial(_inv_scan_kernel, fs),
+        out_shape=(jax.ShapeDtypeStruct((nl, c, k), U32),
+                   jax.ShapeDtypeStruct((nl, c, k), U32),
+                   jax.ShapeDtypeStruct((nl, c, 1), U32)),
+        grid=(c // cblk,),
+        in_specs=[spec3,
+                  pl.BlockSpec((nl, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(spec3, spec3,
+                   pl.BlockSpec((nl, cblk, 1), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(x, one_mont)
+    return f, g, tot[..., 0]
+
+
+def _mul3_kernel(fs, a_ref, b_ref, c_ref, o_ref):
+    ab = _mont_mul_value(fs, a_ref[...], b_ref[...])
+    c = jnp.broadcast_to(c_ref[...], ab.shape[:-1] + (1,))
+    o_ref[...] = _mont_mul_value(fs, ab,
+                                 jnp.broadcast_to(c, ab.shape))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def mul3_bcast_pallas(fs: FieldSpec, a, b, c_bcast,
+                      interpret: bool = False):
+    """a*b*c with c broadcast over the last axis: applies the per-chunk
+    inverse term to the prefix/suffix products. a, b: (NL, C, K);
+    c_bcast: (NL, C)."""
+    nl, cc, k = a.shape
+    cblk = min(cc, _INV_CBLK)
+    assert cc % cblk == 0
+    spec3 = pl.BlockSpec((nl, cblk, k), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mul3_kernel, fs),
+        out_shape=jax.ShapeDtypeStruct((nl, cc, k), U32),
+        grid=(cc // cblk,),
+        in_specs=[spec3, spec3,
+                  pl.BlockSpec((nl, cblk, 1), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec3,
+        interpret=interpret,
+    )(a, b, c_bcast[..., None])

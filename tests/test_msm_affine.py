@@ -141,3 +141,44 @@ def test_msm_affine_pass_stack_exact():
 
 def test_msm_affine_pass_stack_exact_pallas_interpret():
     _pass_stack_case(pallas=True)
+
+
+def test_pallas_inv_scans_interpret():
+    """Direct oracle test of the VMEM inversion chunk-scan kernels
+    (`ops/pallas_msm.py::inv_scans_pallas` / `mul3_bcast_pallas`) in
+    interpret mode at a small (C, K): exclusive prefix/suffix products
+    and chunk totals vs python ints. (Enabling them inside the pass stack
+    needs ZK_TPU_PALLAS_INV — interpret-mode fori_loops are too slow for
+    the full-stack CPU test.)"""
+    import jax.numpy as jnp
+
+    from crypto3_zk_tpu.ops import limbs as L
+    from crypto3_zk_tpu.ops import pallas_msm as PM
+
+    fs = CURVE.fq
+    p = fs.p
+    r = random.Random(3)
+    C, K = 4, 8
+    vals = [r.randrange(1, p) for _ in range(C * K)]
+    xr = L.encode(fs, vals).reshape(fs.nl, C, K)
+    one_m = L.ones_mont(fs, (1,))
+    f, g, tot = PM.inv_scans_pallas(fs, xr, one_m, interpret=True)
+    for c in range(C):
+        acc = 1
+        for k in range(K):
+            assert L.decode(fs, f[:, c, k:k + 1])[0] == acc
+            acc = acc * vals[c * K + k] % p
+        assert L.decode(fs, tot[:, c:c + 1])[0] == acc
+        acc = 1
+        for k in range(K - 1, -1, -1):
+            assert L.decode(fs, g[:, c, k:k + 1])[0] == acc
+            acc = acc * vals[c * K + k] % p
+    # mul3: f * g * bcast(tot) elementwise (all Montgomery-form: the
+    # decoded result is just the product of the decoded operands)
+    out = PM.mul3_bcast_pallas(fs, f, g, tot, interpret=True)
+    for c in range(0, C, 3):
+        for k in range(0, K, 5):
+            want = (L.decode(fs, f[:, c, k:k+1])[0]
+                    * L.decode(fs, g[:, c, k:k+1])[0]
+                    * L.decode(fs, tot[:, c:c+1])[0]) % p
+            assert L.decode(fs, out[:, c, k:k+1])[0] == want
