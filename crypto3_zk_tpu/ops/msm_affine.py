@@ -51,9 +51,16 @@ _GRID_LO = 256          # j = 256*hi + lo bucket-merge split
 _GRID_HI = 129          # buckets 0..2^15 -> hi in 0..128
 _GRID = _GRID_LO * _GRID_HI
 _INV_CHUNK = 64         # sequential-chunk width of the batched inversion
-_LANES_CAP = 1 << 23    # max flattened (windows x points) lanes per group:
+import os as _os
+
+_LANES_CAP = int(_os.environ.get("ZK_TPU_MSM_LANES_CAP", str(1 << 23)))
+                        # max flattened (windows x points) lanes per group:
                         # bounds peak HBM (~6 coord-sized temporaries) while
-                        # amortizing per-pass fixed latency over 8+ windows
+                        # amortizing per-pass fixed latency over 8+ windows.
+                        # Env-tunable: the 2^23-lane program tickles an XLA
+                        # memory-space-assignment ICE on some TPU toolchains
+                        # (see DESIGN.md §MSM); lowering the cap shrinks the
+                        # per-group graph at the cost of more scan steps.
 
 
 def _pallas_pass_enabled() -> bool:

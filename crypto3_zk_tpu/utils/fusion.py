@@ -7,8 +7,9 @@ arrays (baking them as constants would recompile every proof). On XLA:CPU
 a single fused phase costs minutes of compile while the eager per-op path
 compiles in seconds — so fusion defaults to accelerators only.
 
-Override with ZK_TPU_FUSED_PHASES=1/0 (tests force 1 on CPU to pin the
-fused path against the eager one).
+Override with ZK_TPU_FUSED_PHASES=1/0. `tests/test_fused_phases.py` runs
+both modes on CPU and asserts bit-identical proofs, so the fused programs
+that ship to the TPU are pinned against the eager oracle path.
 """
 from __future__ import annotations
 

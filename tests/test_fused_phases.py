@@ -1,0 +1,110 @@
+"""Fused-vs-eager prover equivalence.
+
+The fused whole-phase programs — `_quotient_phase` (placeholder/prover.py),
+`_perm_phase_single` / `_gates_phase` (placeholder/arguments.py),
+`_fold_round_program` (commitments/fri.py) and the fused LPC combined-Q
+(commitments/lpc.py) — are the DEFAULT path on accelerators
+(utils/fusion.py) while the CPU suite exercises the eager path. These
+tests force ZK_TPU_FUSED_PHASES=1 on CPU and assert the resulting proof is
+bit-identical to the eager one, the same transcript-equivalence contract
+the reference pins after every run (`test/commitment/fri.cpp:142-144`,
+prover order `placeholder/prover.hpp:133-217`).
+"""
+import dataclasses
+import random
+
+import numpy as np
+
+from crypto3_zk_tpu.fields import params as P
+from crypto3_zk_tpu.commitments import fri as FRI
+from crypto3_zk_tpu.commitments.lpc import LPCScheme
+from crypto3_zk_tpu.models.placeholder import common as C
+from crypto3_zk_tpu.models.placeholder import preprocessor as PP
+from crypto3_zk_tpu.models.placeholder.prover import prove
+from crypto3_zk_tpu.models.placeholder.verifier import verify
+
+from circuits import circuit_1, circuit_lookup
+
+FS = P.BLS12_381_FR
+
+
+def _canon(o):
+    """Canonical nested-tuple form of a proof object for bit-equality."""
+    if dataclasses.is_dataclass(o) and not isinstance(o, type):
+        return (type(o).__name__,
+                tuple((f.name, _canon(getattr(o, f.name)))
+                      for f in dataclasses.fields(o)))
+    if isinstance(o, dict):
+        return tuple(sorted((repr(k), _canon(v)) for k, v in o.items()))
+    if isinstance(o, (list, tuple)):
+        return (tuple(_canon(x) for x in o),)
+    if isinstance(o, (bool, int, str, bytes, type(None))):
+        return o
+    if hasattr(o, "__array__"):
+        a = np.asarray(o)
+        return ("arr", a.shape, str(a.dtype), a.tobytes())
+    if hasattr(o, "__dict__"):      # plain objects (e.g. EvalStorage)
+        return (type(o).__name__,
+                tuple(sorted((k, _canon(v)) for k, v in vars(o).items())))
+    return repr(o)
+
+
+def _prove_lpc(circuit_fn, fused, monkeypatch, seed=0xAB):
+    monkeypatch.setenv("ZK_TPU_FUSED_PHASES", "1" if fused else "0")
+    rng = random.Random(seed)
+    cs, assignment, desc, public_input = circuit_fn(FS, rng)
+    params = C.PlaceholderParams(FS, transcript_hash="keccak_256")
+    degree_log = desc.rows_amount.bit_length() - 1
+    fri_params = FRI.FRIParams.build(FS, degree_log=degree_log,
+                                     expand_factor=2, lambda_=4,
+                                     merkle_hash="poseidon")
+    scheme = LPCScheme(fri_params)
+    pub = PP.process_public(params, cs, assignment, desc, scheme)
+    priv = PP.process_private(params, cs, assignment, desc)
+    proof = prove(params, pub, priv, desc, cs, scheme)
+    # verify in the SAME mode the proof was produced in (verifier also hits
+    # fused LPC/FRI reconstruction helpers where they exist)
+    ok = verify(params, pub.common_data, proof, desc, cs,
+                LPCScheme(fri_params), public_input=public_input)
+    return proof, ok
+
+
+def test_fused_circuit1_bit_identical(monkeypatch):
+    eager, ok_e = _prove_lpc(circuit_1, False, monkeypatch)
+    fused, ok_f = _prove_lpc(circuit_1, True, monkeypatch)
+    assert ok_e and ok_f
+    assert _canon(eager) == _canon(fused)
+
+
+def test_fused_lookup_bit_identical(monkeypatch):
+    eager, ok_e = _prove_lpc(circuit_lookup, False, monkeypatch)
+    fused, ok_f = _prove_lpc(circuit_lookup, True, monkeypatch)
+    assert ok_e and ok_f
+    assert _canon(eager) == _canon(fused)
+
+
+def _prove_kzg_v2(fused, monkeypatch, seed=0xCD):
+    from crypto3_zk_tpu.fields import curves as CV
+    from crypto3_zk_tpu.commitments import kzg as KZG
+
+    monkeypatch.setenv("ZK_TPU_FUSED_PHASES", "1" if fused else "0")
+    curve = CV.ALT_BN128
+    rng = random.Random(seed)
+    cs, assignment, desc, public_input = circuit_1(curve.fr, rng)
+    params = C.PlaceholderParams(curve.fr, transcript_hash="keccak_256")
+    kparams = KZG.KZGParams.setup(curve, 4 * desc.rows_amount + 8,
+                                  tau=rng.randrange(2, curve.fr.p))
+    scheme = KZG.KZGSchemeV2(kparams)
+    pub = PP.process_public(params, cs, assignment, desc, scheme)
+    priv = PP.process_private(params, cs, assignment, desc)
+    proof = prove(params, pub, priv, desc, cs, scheme)
+    ok = verify(params, pub.common_data, proof, desc, cs,
+                KZG.KZGSchemeV2(kparams), public_input=public_input)
+    return proof, ok
+
+
+def test_fused_kzg_v2_bit_identical(monkeypatch):
+    eager, ok_e = _prove_kzg_v2(False, monkeypatch)
+    fused, ok_f = _prove_kzg_v2(True, monkeypatch)
+    assert ok_e and ok_f
+    assert _canon(eager) == _canon(fused)

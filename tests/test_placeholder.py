@@ -157,6 +157,36 @@ def test_placeholder_with_kzg_v2():
                       public_input=public_input)
 
 
+def test_placeholder_with_batched_kzg():
+    """Plain batched-KZG (BDFG20, non-v2) flavor of the runner
+    (`placeholder.cpp:1316-1468`) — the reference's KZG test matrix covers
+    both the v2 (SHPLONK) and this plain batched scheme."""
+    from crypto3_zk_tpu.fields import curves as CV
+    from crypto3_zk_tpu.commitments import kzg as KZG
+
+    curve = CV.ALT_BN128
+    rng = random.Random(0xCE)
+    cs, assignment, desc, public_input = circuit_1(curve.fr, rng)
+    params = C.PlaceholderParams(curve.fr, transcript_hash="keccak_256")
+    # d2: the BDFG verifier commits Z_{T} / Z_{T∖S} in G2, so it needs
+    # G2 powers up to |merged eval points| (y, rotations of y, eta, ...)
+    kparams = KZG.KZGParams.setup(curve, 4 * desc.rows_amount + 8,
+                                  tau=rng.randrange(2, curve.fr.p), d2=8)
+    scheme = KZG.KZGSchemeBDFG(kparams)
+    pub = PP.process_public(params, cs, assignment, desc, scheme)
+    priv = PP.process_private(params, cs, assignment, desc)
+    proof = prove(params, pub, priv, desc, cs, scheme)
+    vscheme = KZG.KZGSchemeBDFG(kparams)
+    assert verify(params, pub.common_data, proof, desc, cs, vscheme,
+                  public_input=public_input)
+    # negative: tampered quotient opening
+    z = proof.eval_proof.eval_proof.z
+    z.z[C.QUOTIENT_BATCH][0][0] = (z.z[C.QUOTIENT_BATCH][0][0] + 1) % curve.fr.p
+    vscheme2 = KZG.KZGSchemeBDFG(kparams)
+    assert not verify(params, pub.common_data, proof, desc, cs, vscheme2,
+                      public_input=public_input)
+
+
 def test_placeholder_rejects_wrong_public_input():
     rng = random.Random(0xAB)
     cs, assignment, desc, public_input = circuit_1(FS, rng)

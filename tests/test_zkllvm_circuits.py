@@ -1,0 +1,127 @@
+"""Real reference-circuit conformance (`utils/zkllvm.py`).
+
+The reference ships marshalled zkLLVM circuit dumps under
+`test/systems/plonk/placeholder/data/` (`merkle_tree_posseidon_circuit.crct`
+188 KB + `_assignment.tbl` 1.8 MB, `many_hashes_circuit.crct` 554 KB),
+consumed by downstream proof-producer tooling. These tests load them with
+the reverse-engineered parser and (a) check the shipped assignment
+satisfies every parsed gate and copy constraint — the strongest possible
+validation of the format — then (b) run the full Placeholder/LPC
+preprocess→prove→verify on the real 56-column 512-row circuit, including
+a mutated-witness rejection.
+"""
+import os
+import random
+
+import pytest
+
+from crypto3_zk_tpu.arithmetization import plonk as PK
+from crypto3_zk_tpu.fields import params as P
+from crypto3_zk_tpu.utils import zkllvm as Z
+
+DATA = "/root/reference/test/systems/plonk/placeholder/data"
+MERKLE = f"{DATA}/merkle_tree_poseidon"
+
+needs_data = pytest.mark.skipif(not os.path.isdir(DATA),
+                                reason="reference circuit dumps not present")
+
+FS = P.PALLAS_FQ    # zkLLVM circuits are over the pallas base field
+
+
+class _F(int):
+    def __add__(s, o): return _F((int(s) + int(o)) % FS.p)
+    def __sub__(s, o): return _F((int(s) - int(o)) % FS.p)
+    def __mul__(s, o): return _F((int(s) * int(o)) % FS.p)
+
+
+@needs_data
+def test_merkle_tree_poseidon_loads_and_satisfies():
+    cs = Z.load_circuit(f"{MERKLE}/merkle_tree_posseidon_circuit.crct")
+    t = Z.load_assignment_table(f"{MERKLE}/merkle_tree_posseidon_assignment.tbl")
+    assert len(cs.gates) == 13
+    assert len(cs.copy_constraints) == 273
+    assert t.desc.usable_rows_amount == 475 and t.desc.rows_amount == 512
+    assert cs.max_gates_degree() == 7          # pallas poseidon x^7 s-box
+    a, d = t.assignment, t.desc
+
+    # every copy constraint holds on the shipped table
+    for va, vb in cs.copy_constraints:
+        assert (a.column(d, d.global_index(va))[va.rotation]
+                == a.column(d, d.global_index(vb))[vb.rotation])
+
+    # every gate constraint vanishes on every selector-enabled usable row
+    bad = 0
+    for g in cs.gates:
+        selcol = a.selectors[g.selector_index]
+        rows_on = [r for r in range(d.usable_rows_amount) if selcol[r]]
+        for c in g.constraints:
+            for r in rows_on:
+                def var_fn(v, r=r):
+                    col = a.column(d, d.global_index(v))
+                    return _F(col[(r + v.rotation) % d.rows_amount])
+                if int(PK.evaluate_expr(c, var_fn,
+                                        lambda x: _F(x % FS.p))) % FS.p:
+                    bad += 1
+    assert bad == 0
+
+
+@needs_data
+def test_many_hashes_circuit_parses():
+    cs = Z.load_circuit(f"{DATA}/many_hashes/many_hashes_circuit.crct")
+    assert len(cs.gates) == 27
+    assert len(cs.copy_constraints) == 5929
+    assert cs.max_gates_degree() == 8   # x^7 s-box times a linear factor
+    # all variables stay inside the zkLLVM 15/1/5/35 column layout
+    limits = {PK.WITNESS: 15, PK.PUBLIC_INPUT: 1, PK.CONSTANT: 5,
+              PK.SELECTOR: 35}
+    def check(v):
+        assert 0 <= v.index < limits[v.type], v
+    for g in cs.gates:
+        for c in g.constraints:
+            PK.expr_for_each_variable(c, check)
+
+
+@needs_data
+def test_merkle_tree_poseidon_prove_verify():
+    """Placeholder/LPC over the REAL zkLLVM circuit: 56 columns, 512 rows,
+    degree-7 poseidon gates — prove, verify, and reject a mutated witness
+    (the reference exercises this circuit only through external tooling;
+    here it is a first-class fixture)."""
+    from crypto3_zk_tpu.commitments import fri as FRI
+    from crypto3_zk_tpu.commitments.lpc import LPCScheme
+    from crypto3_zk_tpu.models.placeholder import common as C
+    from crypto3_zk_tpu.models.placeholder import preprocessor as PP
+    from crypto3_zk_tpu.models.placeholder.prover import prove
+    from crypto3_zk_tpu.models.placeholder.verifier import verify
+
+    cs = Z.load_circuit(f"{MERKLE}/merkle_tree_posseidon_circuit.crct")
+    t = Z.load_assignment_table(f"{MERKLE}/merkle_tree_posseidon_assignment.tbl")
+    params = C.PlaceholderParams(FS, transcript_hash="keccak_256")
+    degree_log = t.desc.rows_amount.bit_length() - 1
+    fri_params = FRI.FRIParams.build(FS, degree_log=degree_log,
+                                     expand_factor=2, lambda_=4,
+                                     merkle_hash="poseidon")
+    scheme = LPCScheme(fri_params)
+    pub = PP.process_public(params, cs, t.assignment, t.desc, scheme)
+    priv = PP.process_private(params, cs, t.assignment, t.desc)
+    proof = prove(params, pub, priv, t.desc, cs, scheme)
+    assert verify(params, pub.common_data, proof, t.desc, cs,
+                  LPCScheme(fri_params), public_input=t.public_input)
+
+    # mutated witness: flip one value inside a poseidon round and re-prove
+    rng = random.Random(3)
+    import crypto3_zk_tpu.ops.limbs as L
+    from crypto3_zk_tpu.poly.polynomial import PolyDFS
+    bad_col = list(t.assignment.witnesses[4])
+    bad_col[100] = (bad_col[100] + 1) % FS.p
+    priv_bad = PP.process_private(
+        params, cs,
+        PK.Assignment([c if i != 4 else bad_col
+                       for i, c in enumerate(t.assignment.witnesses)],
+                      t.assignment.public_inputs, t.assignment.constants,
+                      t.assignment.selectors),
+        t.desc)
+    proof_bad = prove(params, pub, priv_bad, t.desc, cs,
+                      LPCScheme(fri_params))
+    assert not verify(params, pub.common_data, proof_bad, t.desc, cs,
+                      LPCScheme(fri_params), public_input=t.public_input)
