@@ -297,6 +297,9 @@ def bench_zkllvm():
 
     base = ("/root/reference/test/systems/plonk/placeholder/data/"
             "merkle_tree_poseidon/")
+    if not os.path.isdir(base):
+        print("# zkllvm SKIPPED: reference dumps not present", flush=True)
+        return
     cs = Zk.load_circuit(base + "merkle_tree_posseidon_circuit.crct")
     t = Zk.load_assignment_table(base + "merkle_tree_posseidon_assignment.tbl")
     fs = P.PALLAS_FQ
@@ -355,8 +358,8 @@ def _run_child(key, timeout_s):
                            timeout=timeout_s)
     except subprocess.TimeoutExpired as e:
         return [], f"timeout after {timeout_s}s: " + (
-            (e.stderr or b"").decode() if isinstance(e.stderr, bytes)
-            else (e.stderr or ""))[-400:]
+            (e.stderr or b"").decode(errors="replace")
+            if isinstance(e.stderr, bytes) else (e.stderr or ""))[-400:]
     lines = []
     for ln in r.stdout.splitlines():
         ln = ln.strip()
@@ -371,7 +374,14 @@ def _run_child(key, timeout_s):
 
 def main():
     only = os.environ.get("ZK_BENCH_ONLY", "")
-    sel = [k for k in PLAN if k in set(only.split(","))] if only else PLAN
+    if only:
+        req = {k for k in only.split(",") if k}
+        for k in sorted(req - set(PLAN)):
+            print(f"# ZK_BENCH_ONLY: unknown metric {k!r} "
+                  f"(valid: {','.join(PLAN)})", file=sys.stderr, flush=True)
+        sel = [k for k in PLAN if k in req]
+    else:
+        sel = PLAN
     timeout_s = int(os.environ.get("ZK_BENCH_TIMEOUT", "1500"))
     retries = int(os.environ.get("ZK_BENCH_RETRIES", "2"))
     results = []

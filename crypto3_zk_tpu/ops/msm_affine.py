@@ -36,6 +36,7 @@ alt_bn128). MNT (a != 0) stays on the host path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,16 +52,17 @@ _GRID_LO = 256          # j = 256*hi + lo bucket-merge split
 _GRID_HI = 129          # buckets 0..2^15 -> hi in 0..128
 _GRID = _GRID_LO * _GRID_HI
 _INV_CHUNK = 64         # sequential-chunk width of the batched inversion
-import os as _os
 
-_LANES_CAP = int(_os.environ.get("ZK_TPU_MSM_LANES_CAP", str(1 << 23)))
-                        # max flattened (windows x points) lanes per group:
-                        # bounds peak HBM (~6 coord-sized temporaries) while
-                        # amortizing per-pass fixed latency over 8+ windows.
-                        # Env-tunable: the 2^23-lane program tickles an XLA
-                        # memory-space-assignment ICE on some TPU toolchains
-                        # (see DESIGN.md §MSM); lowering the cap shrinks the
-                        # per-group graph at the cost of more scan steps.
+
+def _lanes_cap() -> int:
+    """Max flattened (windows x points) lanes per group: bounds peak HBM
+    (~6 coord-sized temporaries) while amortizing per-pass fixed latency
+    over 8+ windows. Read lazily so ZK_TPU_MSM_LANES_CAP set after import
+    (test monkeypatch, late-configuring driver) still takes effect; the
+    2^23-lane program tickles an XLA memory-space-assignment ICE on some
+    TPU toolchains (DESIGN.md §MSM) — lowering the cap shrinks the
+    per-group graph at the cost of more scan steps."""
+    return int(os.environ.get("ZK_TPU_MSM_LANES_CAP", str(1 << 23)))
 
 
 def _pallas_pass_enabled() -> bool:
@@ -517,7 +519,7 @@ def _window_grouping(w: int, n: int) -> tuple[int, int]:
     """(n_groups, windows_per_group): flatten as many windows as fit the
     lane cap; wg always divides w (w = 16 scalar limbs -> wg a power of
     two)."""
-    wg = max(1, min(w, _LANES_CAP // max(n, 1)))
+    wg = max(1, min(w, _lanes_cap() // max(n, 1)))
     while w % wg:
         wg -= 1
     return w // wg, wg

@@ -47,9 +47,27 @@ def test_mnt_family_equations_external_pin():
     assert r6 in (4 * y * y - 2 * y + 1, 4 * y * y + 2 * y + 1)
     assert x == 2 * y                            # cycle: x = ±2y
     # Miller-Rabin witnesses: both characteristics are 298-bit primes
+    # (actual MR — a Fermat test would be fooled by Carmichael numbers)
+    def miller_rabin(q, bases=(2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)):
+        d, s = q - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            s += 1
+        for a in bases:
+            x = pow(a, d, q)
+            if x in (1, q - 1):
+                continue
+            for _ in range(s - 1):
+                x = x * x % q
+                if x == q - 1:
+                    break
+            else:
+                return False
+        return True
+
     for q in (p4, r4):
         assert q.bit_length() == 298
-        assert all(pow(a, q - 1, q) == 1 for a in (2, 3, 5, 7, 11, 13))
+        assert miller_rabin(q)
 
 
 @pytest.mark.parametrize("curve", [mnt.MNT4, mnt.MNT6],
