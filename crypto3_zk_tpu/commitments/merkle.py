@@ -28,14 +28,30 @@ from ..transcript.fiat_shamir import field_to_bytes
 from ..transcript.hashes import get_hash
 
 
+def _po_mod(pp):
+    """Dispatch to the permutation module matching the params flavor
+    (original Grain-LFSR Poseidon vs the nil/zkLLVM kimchi-style one)."""
+    from ..ops import nil_poseidon as NP
+    return NP if isinstance(pp, NP.NilPoseidonParams) else PO
+
+
 class FieldHasher:
-    """Poseidon 2-to-1 / sponge hashing; digests are field ints."""
+    """Poseidon 2-to-1 / sponge hashing; digests are field ints.
+
+    `flavor="nil"` selects the NilFoundation permutation recovered from
+    the reference's zkLLVM circuit dump (`ops/nil_poseidon.py`) — the
+    constants the reference's own poseidon Merkle trees use."""
 
     kind = "field"
 
-    def __init__(self, fs: FieldSpec):
+    def __init__(self, fs: FieldSpec, flavor: str = "original"):
         self.fs = fs
-        self.pp = PO.get_params(fs)
+        if flavor == "nil":
+            from ..ops import nil_poseidon as NP
+            self.pp = NP.get_params(fs)
+        else:
+            self.pp = PO.get_params(fs)
+        self._po = _po_mod(self.pp)
 
     # device
     def leaf_hash_rows(self, rows: jnp.ndarray) -> jnp.ndarray:
@@ -49,11 +65,11 @@ class FieldHasher:
             if i + 1 < k:
                 s1 = L.add(fs, s1, rows[i + 1])
             state = jnp.stack([s0, s1, state[:, 2]], axis=1)
-            state = PO.permute_batch(self.pp, state)
+            state = self._po.permute_batch(self.pp, state)
         return state[:, 0]
 
     def node_hash(self, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
-        return PO.hash2_batch(self.pp, left, right)
+        return self._po.hash2_batch(self.pp, left, right)
 
     # host
     def leaf_hash_rows_host(self, elems: list[int]) -> int:
@@ -62,11 +78,11 @@ class FieldHasher:
             state[0] = (state[0] + elems[i]) % self.fs.p
             if i + 1 < len(elems):
                 state[1] = (state[1] + elems[i + 1]) % self.fs.p
-            state = PO.permute_host(self.pp, state)
+            state = self._po.permute_host(self.pp, state)
         return state[0]
 
     def node_hash_host(self, left: int, right: int) -> int:
-        return PO.hash2_host(self.pp, left, right)
+        return self._po.hash2_host(self.pp, left, right)
 
     def digest_bytes(self, digest: int) -> bytes:
         return field_to_bytes(self.fs, digest)
@@ -132,11 +148,11 @@ def _field_tree_program(pp, fs, rows):
         if i + 1 < k:
             s1 = L.add(fs, s1, rows[i + 1])
         state = jnp.stack([s0, s1, state[:, 2]], axis=1)
-        state = PO.permute_batch(pp, state)
+        state = _po_mod(pp).permute_batch(pp, state)
     levels = [state[:, 0]]
     while n > max(1, _DEVICE_LEVEL_MIN):
         cur = levels[-1]
-        levels.append(PO.hash2_batch(pp, cur[..., 0::2], cur[..., 1::2]))
+        levels.append(_po_mod(pp).hash2_batch(pp, cur[..., 0::2], cur[..., 1::2]))
         n //= 2
     return tuple(levels)
 
@@ -149,7 +165,7 @@ def _field_levels_program(pp, digests):
     n = digests.shape[-1]
     while n > max(1, _DEVICE_LEVEL_MIN):
         cur = levels[-1]
-        levels.append(PO.hash2_batch(pp, cur[..., 0::2], cur[..., 1::2]))
+        levels.append(_po_mod(pp).hash2_batch(pp, cur[..., 0::2], cur[..., 1::2]))
         n //= 2
     return tuple(levels)
 
@@ -306,4 +322,6 @@ class MerkleTree:
 def make_hasher(fs: FieldSpec, name: str):
     if name == "poseidon":
         return FieldHasher(fs)
+    if name == "poseidon_nil":
+        return FieldHasher(fs, flavor="nil")
     return ByteHasher(fs, name)

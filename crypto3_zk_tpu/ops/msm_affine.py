@@ -58,11 +58,12 @@ def _lanes_cap() -> int:
     """Max flattened (windows x points) lanes per group: bounds peak HBM
     (~6 coord-sized temporaries) while amortizing per-pass fixed latency
     over 8+ windows. Read lazily so ZK_TPU_MSM_LANES_CAP set after import
-    (test monkeypatch, late-configuring driver) still takes effect; the
-    2^23-lane program tickles an XLA memory-space-assignment ICE on some
-    TPU toolchains (DESIGN.md §MSM) — lowering the cap shrinks the
-    per-group graph at the cost of more scan steps."""
-    return int(os.environ.get("ZK_TPU_MSM_LANES_CAP", str(1 << 23)))
+    (test monkeypatch, late-configuring driver) still takes effect. The
+    2^23-lane program CRASHES the XLA:TPU memory-space-assignment pass
+    ("Check failed: memory_space == existing_required_assignment->
+    memory_space", reproduced 2026-08-19 on v5e at 2^20 points), so the
+    default stays one notch below; raising the cap is a per-run opt-in."""
+    return int(os.environ.get("ZK_TPU_MSM_LANES_CAP", str(1 << 22)))
 
 
 def _pallas_pass_enabled() -> bool:
@@ -476,17 +477,82 @@ def _jacobianize(ops, x, y, inf):
     return (x, y, z)
 
 
-def _weighted_small(ops, pts_jac, m: int):
-    """sum_{k=0}^{m-1} k * P_k over a small (m <= 256) Jacobian batch via
-    the existing suffix-scan weighted reduce (ops/msm.py)."""
-    from .msm import _weighted_bucket_reduce
+def _grid_merge(ops, G):
+    """(…, wg, GRID_HI, GRID_LO) affine grid + inf flags -> per-window
+    Jacobian total sum_j j·B_j (j = 256·hi + lo), with a COMPILE-LIGHT
+    3-stage pipeline (the round-3 design ran two `_tree_reduce_axis`
+    instances plus two suffix-scan weighted reduces — ~700 s of XLA:TPU
+    compile by themselves, the dominant term of the program's ~30 min
+    compile):
 
-    def pad(a):
-        padw = [(0, 0)] * (a.ndim - 1) + [(0, 1)]
-        return jnp.pad(a, padw)
+    1. ONE batched tree-reduce computes both marginals: the lo-major grid
+       and the (transposed, padded) hi-major grid stack along the row axis
+       so C_hi = Σ_lo B[hi,·] and D_lo = Σ_hi B[·,lo] come out of a single
+       256-lane reduction.
+    2. ONE bit-mask weighted tree-reduce: Σ_j j·B_j = Σ_b 2^b·S_b with
+       S_b = Σ_{j: bit b} B_j — 16 masked copies of the marginals (hi bits
+       7..0 weight 2^{8+b}, lo bits 7..0 weight 2^b) reduce in one batched
+       256-lane tree.
+    3. A 16-step Horner scan (acc = 2·acc + S_k over descending weights)
+       yields the window total."""
+    gx, gy, ginf = G
+    HI, LO = _GRID_HI, _GRID_LO
+    pad_n = LO - HI
 
-    padded = tuple(_tmap(pad, c) for c in pts_jac)   # + dump slot
-    return _weighted_bucket_reduce(ops, padded, m)
+    def stack2(a, pad_inf=False):
+        # (..., HI, LO) -> (..., HI+LO, LO): rows 0..HI-1 = lo-major rows,
+        # rows HI.. = transposed hi-major rows (padded; pads are infinity)
+        at = jnp.swapaxes(a, -1, -2)
+        at = jnp.pad(at, [(0, 0)] * (a.ndim - 1) + [(0, pad_n)],
+                     constant_values=pad_inf)
+        return jnp.concatenate([a, at], axis=-2)
+
+    sx = _tmap(stack2, gx)
+    sy = _tmap(stack2, gy)
+    sinf = stack2(ginf, pad_inf=True)
+    cx, cy, cinf = _tree_reduce_axis(ops, (sx, sy, sinf), LO, -1)
+    rx = _tmap(lambda a: a[..., 0], cx)          # (..., HI+LO) marginals
+    ry = _tmap(lambda a: a[..., 0], cy)
+    rinf = cinf[..., 0]
+
+    # 16 masked copies: group g<8 = hi bit (7-g) over C rows (pad to LO);
+    # g>=8 = lo bit (15-g) over D rows — descending weight order for Horner
+    hi_idx = np.arange(LO)                       # C padded to LO rows
+    lo_idx = np.arange(LO)
+    masks = np.stack(
+        [((hi_idx >> b) & 1) == 1 for b in range(7, -1, -1)]
+        + [((lo_idx >> b) & 1) == 1 for b in range(7, -1, -1)])  # (16, LO)
+    masks = jnp.asarray(masks)
+
+    def expand(a, fill=None):
+        # rows: C part padded to LO, D part; -> (..., 2, LO) -> broadcast
+        # each to 8 masked copies -> (..., 16, LO)
+        c = a[..., :HI]
+        c = jnp.pad(c, [(0, 0)] * (a.ndim - 1) + [(0, pad_n)],
+                    constant_values=fill if fill is not None else 0)
+        d = a[..., HI:]
+        both = jnp.stack([c, d], axis=-2)        # (..., 2, LO)
+        reps = jnp.repeat(both, 8, axis=-2)      # (..., 16, LO)
+        return reps
+
+    px = _tmap(expand, rx)
+    py = _tmap(expand, ry)
+    pinf = expand(rinf, fill=True) | ~masks
+    sx2, sy2, sinf2 = _tree_reduce_axis(ops, (px, py, pinf), LO, -1)
+    S = _jacobianize(ops, _tmap(lambda a: a[..., 0], sx2),
+                     _tmap(lambda a: a[..., 0], sy2), sinf2[..., 0])
+
+    # Horner over the 16 bit-levels: acc = 2*acc + S_k.
+    # S coords: (NL, ..., 16); move the 16-axis first for lax.scan
+    xs = tuple(_tmap(lambda a: jnp.moveaxis(a, -1, 0), c) for c in S)
+    acc0 = tuple(_tmap(lambda a: a[0] * 0, c) for c in xs)  # infinity (z=0)
+
+    def horner(acc, s_k):
+        acc2 = CRV.jac_double(ops, acc)
+        return CRV.jac_add(ops, acc2, s_k), None
+
+    acc, _ = jax.lax.scan(horner, acc0, xs)
+    return acc                                   # (NL, ...) Jacobian coords
 
 
 # ---------------------------------------------------------------------------
@@ -595,27 +661,7 @@ def _msm_affine_program(ops, coords, scalar_limbs):
         ginf = grid_shape(jnp.ones((wg * _GRID + 1,), bool)
                           .at[tgt].set(key == _DEAD))
 
-        # C_hi = sum_lo B[w, hi, lo]  (reduce lo axis, batched over w)
-        cx, cy, cinf = _tree_reduce_axis(ops, (gx, gy, ginf), _GRID_LO, -1)
-        C_hi = _jacobianize(ops, _tmap(lambda a: a[..., 0], cx),
-                            _tmap(lambda a: a[..., 0], cy), cinf[..., 0])
-        # D_lo = sum_hi B[w, hi, lo]  (reduce hi axis, batched over w)
-        dx, dy, dinf = _tree_reduce_axis(ops, (gx, gy, ginf), _GRID_HI, -2)
-        D_lo = _jacobianize(
-            ops,
-            _tmap(lambda a: jnp.take(a, 0, axis=-2), dx),
-            _tmap(lambda a: jnp.take(a, 0, axis=-2), dy), dinf[..., 0, :])
-
-        W_hi = _weighted_small(ops, C_hi, _GRID_HI)     # (NL, wg, 1)
-        W_lo = _weighted_small(ops, D_lo, _GRID_LO)
-
-        # total = 256 * W_hi + W_lo
-        def dbl_body(_, P):
-            return CRV.jac_double(ops, P)
-
-        W_hi = jax.lax.fori_loop(0, 8, dbl_body, W_hi)
-        total = CRV.jac_add(ops, W_hi, W_lo)
-        total = _tmap(lambda a: a[..., 0], total)       # (NL, wg) coords
+        total = _grid_merge(ops, (gx, gy, ginf))        # (NL, wg) coords
         return carry, total
 
     if g_cnt == 1:

@@ -13,9 +13,19 @@ from ..ops import poseidon as PO
 
 
 class PoseidonSponge:
-    def __init__(self, fs: FieldSpec):
+    def __init__(self, fs: FieldSpec, flavor: str = "original"):
         self.fs = fs
-        self.pp = PO.get_params(fs)
+        if flavor == "nil":
+            # NilFoundation's own permutation, recovered from the zkLLVM
+            # circuit dump (`ops/nil_poseidon.py`); sponge scheduling stays
+            # this module's (the crypto3-hash nil_poseidon_sponge absorb/
+            # squeeze schedule has no in-repo oracle — see docs/DESIGN.md)
+            from ..ops import nil_poseidon as NP
+            self._po = NP
+            self.pp = NP.get_params(fs)
+        else:
+            self._po = PO
+            self.pp = PO.get_params(fs)
         self.state = [0, 0, 0]
         self.buffer: list[int] = []
         self._fresh_output = False
@@ -34,14 +44,14 @@ class PoseidonSponge:
         if len(self.buffer) > 1:
             self.state[1] = (self.state[1] + self.buffer[1]) % p
         self.buffer = []
-        self.state = PO.permute_host(self.pp, self.state)
+        self.state = self._po.permute_host(self.pp, self.state)
 
     def squeeze(self) -> int:
         if self.buffer:
             self._flush()
             self._fresh_output = True
         elif not self._fresh_output:
-            self.state = PO.permute_host(self.pp, self.state)
+            self.state = self._po.permute_host(self.pp, self.state)
             self._fresh_output = True
         out = self.state[0]
         self._fresh_output = False
@@ -51,9 +61,10 @@ class PoseidonSponge:
 class PoseidonTranscript:
     """API-compatible with `fiat_shamir.Transcript`."""
 
-    def __init__(self, fs: FieldSpec, seed: bytes = b""):
+    def __init__(self, fs: FieldSpec, seed: bytes = b"",
+                 flavor: str = "original"):
         self.fs = fs
-        self.sponge = PoseidonSponge(fs)
+        self.sponge = PoseidonSponge(fs, flavor)
         if seed:
             self.absorb(seed)
 
@@ -87,6 +98,8 @@ class PoseidonTranscript:
         t = PoseidonTranscript.__new__(PoseidonTranscript)
         t.fs = self.fs
         t.sponge = PoseidonSponge(self.fs)
+        t.sponge.pp = self.sponge.pp
+        t.sponge._po = self.sponge._po
         t.sponge.state = list(self.sponge.state)
         t.sponge.buffer = list(self.sponge.buffer)
         t.sponge._fresh_output = self.sponge._fresh_output
