@@ -339,6 +339,8 @@ METRIC_FNS = {
 def run_metric(key):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/zk_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     METRIC_FNS[key]()
 
 
@@ -351,7 +353,8 @@ _BACKEND_ERRS = ("Unable to initialize backend", "UNAVAILABLE",
 
 
 def _run_child(key, timeout_s):
-    """Run one metric in a subprocess. Returns (json_lines, err_text)."""
+    """Run one metric in a subprocess.
+    Returns (json_lines, err_text, timed_out)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--metric", key]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True,
@@ -359,7 +362,8 @@ def _run_child(key, timeout_s):
     except subprocess.TimeoutExpired as e:
         return [], f"timeout after {timeout_s}s: " + (
             (e.stderr or b"").decode(errors="replace")
-            if isinstance(e.stderr, bytes) else (e.stderr or ""))[-400:]
+            if isinstance(e.stderr, bytes) else (e.stderr or ""))[-400:], \
+            True
     lines = []
     for ln in r.stdout.splitlines():
         ln = ln.strip()
@@ -369,7 +373,7 @@ def _run_child(key, timeout_s):
             except ValueError:
                 pass
     err = "" if lines else (r.stderr or "")[-800:]
-    return lines, err
+    return lines, err, False
 
 
 def main():
@@ -384,10 +388,25 @@ def main():
         sel = PLAN
     timeout_s = int(os.environ.get("ZK_BENCH_TIMEOUT", "1500"))
     retries = int(os.environ.get("ZK_BENCH_RETRIES", "2"))
+    # Total wall budget: the harness runs `python bench.py` under its own
+    # outer timeout; without a budget one slow/cold metric eats the whole
+    # run and every later metric is lost (BENCH_r03 lesson). When the
+    # budget is spent, remaining metrics are skipped with a note — the
+    # partial file keeps whatever completed.
+    total_budget = int(os.environ.get("ZK_BENCH_TOTAL", "3300"))
+    t_start = time.time()
     results = []
     for key in sel:
+        remaining = total_budget - (time.time() - t_start)
+        if remaining < 60:
+            print(f"# budget exhausted ({total_budget}s): skipping "
+                  f"{key} and later metrics", file=sys.stderr, flush=True)
+            break
         for attempt in range(retries + 1):
-            lines, err = _run_child(key, timeout_s)
+            child_timeout = min(timeout_s,
+                                max(60, total_budget
+                                    - (time.time() - t_start)))
+            lines, err, timed_out = _run_child(key, child_timeout)
             if lines:
                 for line in lines:
                     results.append(line)
@@ -405,6 +424,10 @@ def main():
                   f"{' (transient backend)' if transient else ''}: "
                   f"{err.strip().splitlines()[-1] if err.strip() else 'no output'}",
                   file=sys.stderr, flush=True)
+            if timed_out and not transient:
+                # a timeout will time out again — retrying burns the
+                # budget of every later metric
+                break
             if attempt < retries:
                 time.sleep(20 * (attempt + 1) if transient else 5)
     if results:

@@ -399,28 +399,46 @@ def _one_pass(ops, state, in_size: int, out_size: int):
     return out_x, out_y, out_bucket
 
 
-def _pass_schedule(n: int, wg: int = 1):
-    """Static (in_size, out_size) per halving pass. Live count after k+1
-    passes is at most n/2^(k+1) + (#nonempty buckets) <= n/2^(k+1) +
-    wg*(2^15+1); a pass compacts down to that bound — but only when the
-    bound has at least halved the current size, which caps the number of
-    DISTINCT compiled pass shapes at ~4-6 (every fresh shape is another
-    inversion-scan + gather program for XLA to compile; equal-shape runs
-    re-enter one fori_loop body). ceil(log2(n/wg)) passes collapse every
-    bucket even for fully skewed digits (runs never span windows)."""
-    total = max((n // max(wg, 1) - 1).bit_length(), 1)
-    floor = wg * _GRID + 256
-    passes = []
-    size = n
-    for k in range(total):
-        bound = min(n, (n >> (k + 1)) + floor)
-        # multiple of 4096: aligns both the inversion chunks and the
-        # Pallas pair-kernel block width
-        bound = min(size, -(-bound // 4096) * 4096)
-        out = bound if bound <= size // 2 else size
-        passes.append((size, out))
-        size = out
-    return tuple(passes)
+def _signed_digits_np(nl: int, limbs):
+    """Host mirror of `_signed_digits` (numpy): (NL, N) uint32 16-bit limbs
+    -> (NL, N) int32 signed digits. Used to compute the TRUE per-group pass
+    count (`_pass_counts`) before dispatch."""
+    n = limbs.shape[1]
+    digs = []
+    carry = np.zeros((n,), np.int64)
+    for w in range(nl):
+        v = limbs[w].astype(np.int64) + carry
+        if w == nl - 1:
+            digs.append(v)
+            break
+        hot = v >= (1 << 15)
+        digs.append(np.where(hot, v - (1 << 16), v))
+        carry = hot.astype(np.int64)
+    return np.stack(digs).astype(np.int32)
+
+
+def _pass_counts(sdig, g_cnt: int, wg: int) -> np.ndarray:
+    """Per-group halving-pass counts: k* = ceil(log2(max bucket
+    multiplicity)) over the group's (window, |digit|) keys. After k* passes
+    every bucket holds <= 1 live lane, so the grid scatter is safe. The
+    round-3 design ran a STATIC worst-case schedule (ceil(log2(n/wg))
+    passes with compaction steps) — 16+ full-width passes even when
+    buckets hold ~2 points (the n=2^16, c=16 regime), and 4-6 distinct
+    pass shapes for XLA to compile. The host knows the scalars, so it
+    computes the true bound (uniform scalars: 4-6 passes) and the program
+    runs ONE same-shape pass body under a dynamic `fori_loop` trip count;
+    adversarial all-equal scalars degrade to the old pass count, never
+    correctness."""
+    w_all, n = sdig.shape
+    groups = sdig.reshape(g_cnt, wg, n)
+    counts = []
+    for g in range(g_cnt):
+        bucket = np.abs(groups[g]).astype(np.int64)          # (wg, n)
+        key = (np.arange(wg, dtype=np.int64)[:, None] << 16) | bucket
+        live = key[bucket != 0]
+        m = int(np.bincount(live).max()) if live.size else 0
+        counts.append(max((m - 1).bit_length(), 0))
+    return np.asarray(counts, np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -592,28 +610,31 @@ def _window_grouping(w: int, n: int) -> tuple[int, int]:
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _msm_affine_program(ops, coords, scalar_limbs):
+def _msm_affine_program(ops, coords, scalar_limbs, k_stars):
     """coords: (X, Y, Yneg) affine Montgomery limb planes, batch N.
-    scalar_limbs: (W, N) uint32 16-bit plain limbs. Returns per-window
-    Jacobian coords of shape (NL, W).
+    scalar_limbs: (W, N) uint32 16-bit plain limbs. k_stars: (g_cnt,)
+    int32 per-group pass counts from `_pass_counts` (a TRACED argument:
+    different scalar distributions reuse the compiled program). Returns
+    per-window Jacobian coords of shape (NL, W).
 
     ALL windows of a group are flattened into one (wg*N,)-lane array keyed
-    by (window << 16) | bucket and processed by ONE sort + ONE stack of
-    halving passes + ONE batched grid merge: per-pass fixed latencies
-    (inverse scan steps, scatter setup, sort stages) amortize over wg
-    windows instead of paying per window — the per-window formulation was
-    latency-bound, not multiply-bound, at 2^16-2^20."""
+    by (window << 16) | bucket and processed by ONE sort + ONE same-shape
+    halving-pass fori_loop (dynamic trip count) + ONE batched grid merge:
+    per-pass fixed latencies (inverse scan steps, scatter setup, sort
+    stages) amortize over wg windows instead of paying per window — the
+    per-window formulation was latency-bound, not multiply-bound, at
+    2^16-2^20."""
     X, Y, Yneg = coords
     w, n = scalar_limbs.shape
     sdig = _signed_digits(w, scalar_limbs)              # (W, N) int32
     g_cnt, wg = _window_grouping(w, n)
     size0 = wg * n
-    schedule = _pass_schedule(size0, wg)
 
     YY = _tmap(lambda a, b: jnp.concatenate([a, b], axis=-1), Y, Yneg)
     wloc = jnp.arange(wg, dtype=I32)[:, None]
 
-    def group(carry, sw):                               # sw: (wg, N)
+    def group(carry, sw_k):                             # sw: (wg, N)
+        sw, k_star = sw_k
         bucket = jnp.abs(sw)
         key = jnp.where(bucket == 0, _DEAD,
                         (wloc << 16) | bucket).reshape(size0)
@@ -623,23 +644,9 @@ def _msm_affine_program(ops, coords, scalar_limbs):
         xs = _take(X, pid)
         ys = _take(YY, pid + n * sign[perm])
         state = (xs, ys, keys)
-        # coalesce equal-shape passes into fori_loop bodies so XLA compiles
-        # each distinct (in, out) pass shape exactly once
-        runs: list[list] = []
-        for io in schedule:
-            if runs and runs[-1][0] == io and io[0] == io[1]:
-                runs[-1][1] += 1
-            else:
-                runs.append([io, 1])
-        for (in_size, out_size), cnt in runs:
-            if in_size == out_size and cnt > 1:
-                state = jax.lax.fori_loop(
-                    0, cnt,
-                    lambda _, st, s=in_size: _one_pass(ops, st, s, s),
-                    state)
-            else:
-                for _ in range(cnt):
-                    state = _one_pass(ops, state, in_size, out_size)
+        state = jax.lax.fori_loop(
+            0, k_star,
+            lambda _, st: _one_pass(ops, st, size0, size0), state)
         x, y, key = state
 
         # dense (window, hi, lo) grid scatter: key -> w*GRID + hi*256 + lo
@@ -665,9 +672,9 @@ def _msm_affine_program(ops, coords, scalar_limbs):
         return carry, total
 
     if g_cnt == 1:
-        _, totals = group(0, sdig.reshape(wg, n))
+        _, totals = group(0, (sdig.reshape(wg, n), k_stars[0]))
         return _tmap(lambda a: a, totals)               # (NL, W)
-    _, tot = jax.lax.scan(group, 0, sdig.reshape(g_cnt, wg, n))
+    _, tot = jax.lax.scan(group, 0, (sdig.reshape(g_cnt, wg, n), k_stars))
     # (G, NL, wg) -> (NL, G*wg) = (NL, W)
     return _tmap(lambda a: jnp.moveaxis(a, 0, 1).reshape(a.shape[1], w), tot)
 
@@ -714,9 +721,13 @@ class MSMBases:
             scalars = [0 if i in self._inf_pos else s
                        for i, s in enumerate(scalars)]
         scalars = scalars + [0] * (self.n2 - len(scalars))
-        limbs = jnp.asarray(L.pack_ints(fr, scalars))
+        limbs_np = L.pack_ints(fr, scalars)
+        g_cnt, wg = _window_grouping(fr.nl, self.n2)
+        k_stars = _pass_counts(_signed_digits_np(fr.nl, limbs_np),
+                               g_cnt, wg)
         totals = _msm_affine_program(self.ops, (self.X, self.Y, self.Yneg),
-                                     limbs)
+                                     jnp.asarray(limbs_np),
+                                     jnp.asarray(k_stars))
         return _combine_windows(curve, self.ops, totals, self.group)
 
 

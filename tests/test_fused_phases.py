@@ -14,6 +14,7 @@ import dataclasses
 import random
 
 import numpy as np
+import pytest
 
 from crypto3_zk_tpu.fields import params as P
 from crypto3_zk_tpu.commitments import fri as FRI
@@ -26,6 +27,20 @@ from crypto3_zk_tpu.models.placeholder.verifier import verify
 from circuits import circuit_1, circuit_lookup
 
 FS = P.BLS12_381_FR
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache_writes():
+    """XLA:CPU SIGSEGVs in `executable.serialize()` while writing THIS
+    module's fused lookup prover program to the persistent compilation
+    cache (jax 0.8.x, reproduced twice at test_fused_lookup_bit_identical;
+    the whole one-command suite died rc=139). Upstream serializer bug —
+    keep the cache off for this module only."""
+    import jax
+    old = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", old)
 
 
 def _canon(o):

@@ -99,8 +99,8 @@ def _pass_stack_case(pallas: bool):
     old = os.environ.get("ZK_TPU_PALLAS_MSM")
     os.environ["ZK_TPU_PALLAS_MSM"] = "1" if pallas else "0"
     try:
-        for (in_size, out_size) in MA._pass_schedule(size0, wg):
-            state = MA._one_pass(ops, state, in_size, out_size)
+        for _ in range(max((size0 // max(wg, 1) - 1).bit_length(), 1)):
+            state = MA._one_pass(ops, state, size0, size0)
     finally:
         if old is None:
             os.environ.pop("ZK_TPU_PALLAS_MSM", None)
@@ -182,8 +182,8 @@ def test_msm_affine_g2_pass_stack_exact():
     keys, perm = MA._bitonic_sort(key)
     state = (MA._take(X, perm % n),
              MA._take(YY, (perm % n) + n * sign[perm]), keys)
-    for (in_size, out_size) in MA._pass_schedule(size0, wg):
-        state = MA._one_pass(ops, state, in_size, out_size)
+    for _ in range(max((size0 // max(wg, 1) - 1).bit_length(), 1)):
+        state = MA._one_pass(ops, state, size0, size0)
     x, y, k = state
     k_np = np.asarray(k)
     xd, yd = ops.decode(x), ops.decode(y)
