@@ -437,7 +437,7 @@ def _pass_counts(sdig, g_cnt: int, wg: int) -> np.ndarray:
         key = (np.arange(wg, dtype=np.int64)[:, None] << 16) | bucket
         live = key[bucket != 0]
         m = int(np.bincount(live).max()) if live.size else 0
-        counts.append(max((m - 1).bit_length(), 0))
+        counts.append((m - 1).bit_length() if m > 1 else 0)
     return np.asarray(counts, np.int32)
 
 

@@ -273,3 +273,35 @@ def test_pallas_inv_scans_interpret():
                     * L.decode(fs, g[:, c, k:k+1])[0]
                     * L.decode(fs, tot[:, c:c+1])[0]) % p
             assert L.decode(fs, out[:, c, k:k+1])[0] == want
+
+
+def test_signed_digits_host_mirror_and_pass_counts():
+    """`_signed_digits_np` must match the device `_signed_digits` bit-for-
+    bit (the host computes the dynamic pass count from it), and k* must be
+    the exact ceil-log2 of the max (window, |digit|) multiplicity."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crypto3_zk_tpu.ops import limbs as L
+    from crypto3_zk_tpu.ops import msm_affine as MA
+
+    fr = CURVE.fr
+    sc = [0, 1, fr.p - 1, (1 << 16) - 1, 1 << 15, (1 << 16) + (1 << 15)]
+    sc += [rng.randrange(fr.p) for _ in range(58)]
+    limbs = L.pack_ints(fr, sc)
+    host = MA._signed_digits_np(fr.nl, limbs)
+    dev = np.asarray(MA._signed_digits(fr.nl, jnp.asarray(limbs)))
+    assert (host == dev).all()
+
+    # pass counts: all-equal scalars force one bucket per window
+    eq = L.pack_ints(fr, [12345] * 64)
+    k_eq = MA._pass_counts(MA._signed_digits_np(fr.nl, eq), 1, fr.nl)
+    assert int(k_eq[0]) == 6  # 64 equal entries -> ceil(log2(64))
+    # singleton buckets need zero passes
+    ones = L.pack_ints(fr, [7])
+    k_one = MA._pass_counts(MA._signed_digits_np(fr.nl, ones), 1, fr.nl)
+    assert int(k_one[0]) == 0
+    # zero scalars never count (they land in the dead bucket)
+    zeros = L.pack_ints(fr, [0] * 32)
+    k_zero = MA._pass_counts(MA._signed_digits_np(fr.nl, zeros), 1, fr.nl)
+    assert int(k_zero[0]) == 0
