@@ -51,7 +51,12 @@ class FieldHasher:
             self.pp = NP.get_params(fs)
         else:
             self.pp = PO.get_params(fs)
-        self._po = _po_mod(self.pp)
+
+    @property
+    def _po(self):
+        # computed, not stored: a module attribute would break
+        # copy.deepcopy of scheme objects holding trees/hashers
+        return _po_mod(self.pp)
 
     # device
     def leaf_hash_rows(self, rows: jnp.ndarray) -> jnp.ndarray:

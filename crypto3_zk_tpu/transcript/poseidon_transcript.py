@@ -21,14 +21,19 @@ class PoseidonSponge:
             # this module's (the crypto3-hash nil_poseidon_sponge absorb/
             # squeeze schedule has no in-repo oracle — see docs/DESIGN.md)
             from ..ops import nil_poseidon as NP
-            self._po = NP
             self.pp = NP.get_params(fs)
         else:
-            self._po = PO
             self.pp = PO.get_params(fs)
         self.state = [0, 0, 0]
         self.buffer: list[int] = []
         self._fresh_output = False
+
+    @property
+    def _po(self):
+        # computed, not stored: a module attribute breaks deepcopy of
+        # objects holding sponges
+        from ..commitments.merkle import _po_mod
+        return _po_mod(self.pp)
 
     def absorb(self, v: int):
         self.buffer.append(v % self.fs.p)
@@ -99,7 +104,6 @@ class PoseidonTranscript:
         t.fs = self.fs
         t.sponge = PoseidonSponge(self.fs)
         t.sponge.pp = self.sponge.pp
-        t.sponge._po = self.sponge._po
         t.sponge.state = list(self.sponge.state)
         t.sponge.buffer = list(self.sponge.buffer)
         t.sponge._fresh_output = self.sponge._fresh_output
