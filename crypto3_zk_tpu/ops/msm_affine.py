@@ -14,14 +14,19 @@ multiplication work:
   (window << 16) | bucket and sort with an on-device BITONIC network
   (rolls + selects; TPU scatter-based sorts are serial) — no host sort,
   no per-window index shipping through the device tunnel;
-- bucket sums form by HALVING PASSES: the element with even in-bucket
-  rank pairs with its right neighbour; all pairs add with the
-  shared-inversion affine formula; cancellations become dead lanes;
-  survivors compact via an int32 iota-scatter + coordinate GATHER
-  (coordinate-plane scatters measured ~8x slower than gathers on TPU).
-  Pass sizes shrink on the provable live-count bound, equal shapes
-  coalesced into fori_loop bodies (every distinct shape is an XLA
-  compile). Correct for any digit skew, including all-equal scalars;
+- bucket sums form by IN-PLACE HALVING PASSES: lanes never move after the
+  sort; pass j pairs each lane whose in-bucket rank is a multiple of
+  2^(j+1) with the lane 2^j positions to its right (ranks are contiguous
+  per bucket, so the partner offset is position-uniform) and adds with the
+  shared-inversion infinity-aware affine formula; cancelled pairs and
+  consumed partners raise a dead (infinity) flag. One same-shape pass body
+  runs under a dynamic `fori_loop` trip count (the true per-group bound
+  k* from the host digit histogram). The round-2/3 design compacted
+  survivors between passes — profiled on v5e at 2^22 lanes, the
+  iota-scatter + padded coordinate gathers + per-pass rank/cumsum were
+  ~400 ms of each 745 ms pass, which the in-place scheme removes (3
+  contiguous rolls instead). Correct for any digit skew, including
+  all-equal scalars;
 - the weighted bucket merge sum_j j*B_j is split j = 256*hi + lo so the
   big grid reduces with cheap affine tree-reductions and only two tiny
   (129/256-lane) Jacobian weighted scans remain.
@@ -66,21 +71,11 @@ def _lanes_cap() -> int:
     return int(os.environ.get("ZK_TPU_MSM_LANES_CAP", str(1 << 22)))
 
 
-def _pallas_pass_enabled() -> bool:
-    """VMEM-resident pair-add kernels (`ops/pallas_msm.py`) for the
-    G1 halving passes. Opt-in: Mosaic compiles cost ~28 min each on the
-    remote tunnel, so the XLA path stays the default until the kernels are
-    compile-cached."""
-    import os
-    return os.environ.get("ZK_TPU_PALLAS_MSM", "") not in ("", "0")
-
-
 def _pallas_inv_enabled() -> bool:
-    """VMEM-resident batched-inversion chunk scans. Separate knob: in
-    interpret mode the in-kernel fori_loops execute per python step, far
-    too slow for the CPU oracle tests (the kernels have their own direct
-    interpret unit test); on TPU enable together with ZK_TPU_PALLAS_MSM."""
-    import os
+    """VMEM-resident batched-inversion chunk scans (ZK_TPU_PALLAS_INV=1).
+    Off by default: in interpret mode the in-kernel fori_loops execute per
+    python step, far too slow for the CPU oracle tests (the kernels have
+    their own direct interpret unit test)."""
     return os.environ.get("ZK_TPU_PALLAS_INV", "") not in ("", "0")
 
 
@@ -173,7 +168,7 @@ def _batch_inverse_chunked(ops, x, size: int):
     xr = _tmap(resh, x)
 
     if (_pallas_inv_enabled() and not isinstance(x, tuple)
-            and C % min(C, 64) == 0):
+            and C % min(C, 128) == 0):
         # VMEM-resident chunk scans: the XLA lax.scans below round-trip
         # the carry through HBM on every one of the 2K steps
         from . import pallas_msm as PM
@@ -246,39 +241,6 @@ def _pair_denominator(ops, A, B):
     return den, (dy, dbl, vanish)
 
 
-def _pair_denominator_finite(ops, A, B, leader):
-    """`_pair_denominator` for the halving passes, where every live lane
-    holds a FINITE point (dead lanes are compacted out and cancellations
-    become dead lanes): no infinity-operand plumbing, and non-leader lanes
-    get 1 so the batched inverse never sees zero."""
-    ax, ay = A
-    bx, by = B
-    dx = ops.sub(bx, ax)
-    dy = ops.sub(by, ay)
-    x_eq = ops.is_zero(dx)
-    y_eq = ops.is_zero(dy)
-    dbl = x_eq & y_eq
-    vanish = x_eq & ~y_eq
-    den = ops.select(dbl, ops.dbl(ay), dx)
-    den = ops.select(~leader | vanish, ops.ones(_shape_of(ops, ax)), den)
-    return den, (dy, dbl, vanish)
-
-
-def _pair_combine_finite(ops, A, B, inv_den, aux):
-    """A + B over finite operands given the batched slope-denominator
-    inverse. Returns (x3, y3, vanish): `vanish` lanes (P + (-P)) must be
-    killed by the caller. 4 muls/lane (a = 0 curves)."""
-    ax, ay = A
-    bx, by = B
-    dy, dbl, vanish = aux
-    x2 = ops.sqr(ax)
-    num = ops.select(dbl, ops.add(ops.dbl(x2), x2), dy)
-    lam = ops.mul(num, inv_den)
-    x3 = ops.sub(ops.sub(ops.sqr(lam), ax), bx)
-    y3 = ops.sub(ops.mul(lam, ops.sub(ax, x3)), ay)
-    return x3, y3, vanish
-
-
 def _pair_combine(ops, A, B, inv_den, aux):
     """A + B given the batched inverse of the slope denominator.
     4 muls/lane (a = 0 curves: tangent numerator 3x^2)."""
@@ -347,74 +309,54 @@ def _ranks(sorted_keys):
 # halving passes
 # ---------------------------------------------------------------------------
 
-def _one_pass(ops, state, in_size: int, out_size: int):
-    """One halving pass: pair even-rank elements with their right
-    neighbour (same bucket), batched-affine add, compact survivors to
-    `out_size` lanes. State is (x, y, bucket) — every live lane holds a
-    FINITE point; cancelled pairs and consumed partners become _DEAD.
+def _inplace_pass(ops, x, y, dead, bucket, rank, j, size: int):
+    """Pass j of the IN-PLACE halving schedule: every lane keeps its sorted
+    position forever; pass j pairs each lane whose in-bucket rank is a
+    multiple of 2^(j+1) with the lane 2^j positions to its right (same
+    position offset for every bucket, because ranks are contiguous in the
+    sorted order). Survivors stay where they are; consumed partners and
+    cancelled pairs raise a `dead` (infinity) flag that the infinity-aware
+    affine combine absorbs on later passes.
 
-    Compaction moves coordinates with an int32 iota-SCATTER followed by a
-    coordinate GATHER: TPU scatters of multi-limb coordinate planes are
-    ~8x slower than same-size gathers (measured 2^23: coord scatter 900ms
-    vs gather 125ms), so only a (out_size,) int32 selector is ever
-    scattered."""
-    x, y, bucket = state
-    idx = jnp.arange(in_size, dtype=I32)
-    rank = _ranks(bucket)
-    nb = jnp.roll(bucket, -1)
-    B = (_roll(x, -1), _roll(y, -1))
-    same = (bucket == nb) & (bucket != _DEAD) & (idx < in_size - 1)
-    leader = same & (rank % 2 == 0)
+    Replaces the round-2/3 gather-compaction pass: the int32 iota-scatter +
+    padded coordinate gathers + per-pass rank/cumsum bookkeeping cost
+    ~400 ms of a 745 ms pass at 2^22 lanes (profiled on v5e 2026-08-20);
+    the in-place pass is 3 contiguous rolls + the same batched-inverse +
+    combine. `bucket`/`rank` are loop-invariant; `j` is traced (one pass
+    body compiles for any trip count)."""
+    d = jnp.left_shift(jnp.int32(1), j)
+    idx = jnp.arange(size, dtype=I32)
+    px = _roll(x, -d)
+    py = _roll(y, -d)
+    pdead = jnp.roll(dead, -d)
+    pbucket = jnp.roll(bucket, -d)
+    same = (bucket == pbucket) & (bucket != _DEAD) & (idx + d < size)
+    leader = same & ((rank & (2 * d - 1)) == 0)
 
-    if _pallas_pass_enabled() and not isinstance(x, tuple):
-        from . import pallas_msm as PM
-        interp = jax.default_backend() == "cpu"
-        one_m = L.ones_mont(ops.fs, (1,))
-        den, dbl, vanish = PM.pair_den_pallas(ops.fs, x, y, B[0], B[1],
-                                              leader, one_m,
-                                              interpret=interp)
-        inv_den = _batch_inverse_chunked(ops, den, in_size)
-        new_x, new_y = PM.pair_combine_pallas(ops.fs, x, y, B[0], B[1],
-                                              inv_den, leader, dbl,
-                                              interpret=interp)
-    else:
-        den, aux = _pair_denominator_finite(ops, (x, y), B, leader)
-        inv_den = _batch_inverse_chunked(ops, den, in_size)
-        rx, ry, vanish = _pair_combine_finite(ops, (x, y), B, inv_den, aux)
-        new_x = ops.select(leader, rx, x)
-        new_y = ops.select(leader, ry, y)
-    alive = (bucket != _DEAD) & (rank % 2 == 0) & ~(leader & vanish)
+    A = (x, y, dead)
+    B = (px, py, pdead | ~leader)      # non-leader lanes add infinity
+    den, aux = _pair_denominator(ops, A, B)
+    inv_den = _batch_inverse_chunked(ops, den, size)
+    rx, ry, rinf = _pair_combine(ops, A, B, inv_den, aux)
 
-    pos_incl = jnp.cumsum(alive.astype(I32))
-    pos = jnp.where(alive, pos_incl - 1, out_size)   # out_size = dump slot
-    sel = jnp.full((out_size + 1,), in_size, I32).at[pos].set(idx)
-    sel = sel[:out_size]
-
-    def pad1(a):
-        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, 1)])
-
-    out_x = _take(_tmap(pad1, new_x), sel)
-    out_y = _take(_tmap(pad1, new_y), sel)
-    out_bucket = jnp.pad(bucket, (0, 1), constant_values=_DEAD)[sel]
-    return out_x, out_y, out_bucket
+    new_x = ops.select(leader, rx, x)
+    new_y = ops.select(leader, ry, y)
+    consumed = jnp.roll(leader, d) & (idx >= d)     # partner eaten by left
+    new_dead = jnp.where(consumed, True, jnp.where(leader, rinf, dead))
+    return new_x, new_y, new_dead
 
 
 def _signed_digits_np(nl: int, limbs):
     """Host mirror of `_signed_digits` (numpy): (NL, N) uint32 16-bit limbs
     -> (NL, N) int32 signed digits. Used to compute the TRUE per-group pass
     count (`_pass_counts`) before dispatch."""
-    n = limbs.shape[1]
-    digs = []
-    carry = np.zeros((n,), np.int64)
-    for w in range(nl):
-        v = limbs[w].astype(np.int64) + carry
-        if w == nl - 1:
-            digs.append(v)
-            break
+    out = limbs.astype(np.int32)             # one conversion, mutate below
+    for w in range(nl - 1):
+        v = out[w]
         hot = v >= (1 << 15)
-        digs.append(np.where(hot, v - (1 << 16), v))
-        carry = hot.astype(np.int64)
-    return np.stack(digs).astype(np.int32)
+        np.subtract(v, 1 << 16, out=v, where=hot)
+        out[w + 1] += hot                    # carry ripples upward
+    return out
 
 
 def _pass_counts(sdig, g_cnt: int, wg: int) -> np.ndarray:
@@ -430,15 +372,18 @@ def _pass_counts(sdig, g_cnt: int, wg: int) -> np.ndarray:
     adversarial all-equal scalars degrade to the old pass count, never
     correctness."""
     w_all, n = sdig.shape
-    groups = sdig.reshape(g_cnt, wg, n)
-    counts = []
-    for g in range(g_cnt):
-        bucket = np.abs(groups[g]).astype(np.int64)          # (wg, n)
-        key = (np.arange(wg, dtype=np.int64)[:, None] << 16) | bucket
-        live = key[bucket != 0]
-        m = int(np.bincount(live).max()) if live.size else 0
-        counts.append((m - 1).bit_length() if m > 1 else 0)
-    return np.asarray(counts, np.int32)
+    bucket = np.abs(sdig.astype(np.int64)).reshape(g_cnt, wg, n)
+    key = (np.arange(g_cnt * wg, dtype=np.int64)
+           .reshape(g_cnt, wg, 1) << 16) | bucket
+    live = key[bucket != 0]                  # one pass over all groups
+    counts = np.zeros(g_cnt, np.int32)
+    if live.size:
+        bc = np.bincount(live.ravel())
+        span = wg << 16
+        for g in range(g_cnt):
+            m = int(bc[g * span:(g + 1) * span].max(initial=0))
+            counts[g] = (m - 1).bit_length() if m > 1 else 0
+    return counts
 
 
 # ---------------------------------------------------------------------------
@@ -619,11 +564,15 @@ def _msm_affine_program(ops, coords, scalar_limbs, k_stars):
 
     ALL windows of a group are flattened into one (wg*N,)-lane array keyed
     by (window << 16) | bucket and processed by ONE sort + ONE same-shape
-    halving-pass fori_loop (dynamic trip count) + ONE batched grid merge:
-    per-pass fixed latencies (inverse scan steps, scatter setup, sort
-    stages) amortize over wg windows instead of paying per window — the
-    per-window formulation was latency-bound, not multiply-bound, at
-    2^16-2^20."""
+    halving-pass fori_loop (dynamic trip count): per-pass fixed latencies
+    (inverse scan steps, sort stages) amortize over wg windows instead of
+    paying per window — the per-window formulation was latency-bound, not
+    multiply-bound, at 2^16-2^20. The group scan emits the scattered
+    bucket GRIDS and ONE `_grid_merge` batched over the group axis
+    finishes all of them: the merge's tree levels are latency-bound
+    (profiled 915 ms for a wg=4 grid on v5e — ~57 ms per 25 MB level),
+    so G merges of width X cost ~G times more than one merge of width
+    G*X."""
     X, Y, Yneg = coords
     w, n = scalar_limbs.shape
     sdig = _signed_digits(w, scalar_limbs)              # (W, N) int32
@@ -643,17 +592,22 @@ def _msm_affine_program(ops, coords, scalar_limbs, k_stars):
         pid = perm % n                                  # point index
         xs = _take(X, pid)
         ys = _take(YY, pid + n * sign[perm])
-        state = (xs, ys, keys)
-        state = jax.lax.fori_loop(
+        rank = _ranks(keys)                             # computed ONCE
+        dead0 = keys == _DEAD
+        x, y, dead = jax.lax.fori_loop(
             0, k_star,
-            lambda _, st: _one_pass(ops, st, size0, size0), state)
-        x, y, key = state
+            lambda j, st: _inplace_pass(ops, st[0], st[1], st[2],
+                                        keys, rank, j, size0),
+            (xs, ys, dead0))
 
-        # dense (window, hi, lo) grid scatter: key -> w*GRID + hi*256 + lo
-        bkt = key & 0xFFFF
-        tgt = jnp.where(key == _DEAD, wg * _GRID,
-                        (key >> 16) * _GRID + (bkt >> 8) * _GRID_LO
-                        + (bkt & 0xFF))
+        # dense (window, hi, lo) grid scatter: after k* passes each bucket's
+        # total sits at its rank-0 lane; key -> w*GRID + hi*256 + lo
+        live = (rank == 0) & ~dead
+        bkt = keys & 0xFFFF
+        tgt = jnp.where(live,
+                        (keys >> 16) * _GRID + (bkt >> 8) * _GRID_LO
+                        + (bkt & 0xFF),
+                        wg * _GRID)
 
         def grid_like(a):
             return jnp.zeros(a.shape[:-1] + (wg * _GRID + 1,), a.dtype)
@@ -666,17 +620,20 @@ def _msm_affine_program(ops, coords, scalar_limbs, k_stars):
         gy = _tmap(grid_shape, _scatter_last(_tmap(grid_like, y), tgt, y))
         # a grid cell is infinity unless a live lane lands on it
         ginf = grid_shape(jnp.ones((wg * _GRID + 1,), bool)
-                          .at[tgt].set(key == _DEAD))
-
-        total = _grid_merge(ops, (gx, gy, ginf))        # (NL, wg) coords
-        return carry, total
+                          .at[tgt].set(~live))
+        return carry, (gx, gy, ginf)
 
     if g_cnt == 1:
-        _, totals = group(0, (sdig.reshape(wg, n), k_stars[0]))
-        return _tmap(lambda a: a, totals)               # (NL, W)
-    _, tot = jax.lax.scan(group, 0, (sdig.reshape(g_cnt, wg, n), k_stars))
-    # (G, NL, wg) -> (NL, G*wg) = (NL, W)
-    return _tmap(lambda a: jnp.moveaxis(a, 0, 1).reshape(a.shape[1], w), tot)
+        _, (gx, gy, ginf) = group(0, (sdig.reshape(wg, n), k_stars[0]))
+        return _grid_merge(ops, (gx, gy, ginf))         # (NL, W)
+    _, (gx, gy, ginf) = jax.lax.scan(
+        group, 0, (sdig.reshape(g_cnt, wg, n), k_stars))
+    # grids: (G, ..., wg, HI, LO) with the coord limb axis inside — move
+    # the scan axis next to wg so the merge batches over (G, wg)
+    gx = _tmap(lambda a: jnp.moveaxis(a, 0, 1), gx)     # (NL, G, wg, HI, LO)
+    gy = _tmap(lambda a: jnp.moveaxis(a, 0, 1), gy)
+    tot = _grid_merge(ops, (gx, gy, ginf))              # (NL, G, wg)
+    return _tmap(lambda a: a.reshape(a.shape[0], w), tot)
 
 
 # ---------------------------------------------------------------------------

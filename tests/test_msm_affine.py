@@ -59,10 +59,51 @@ def test_msm_affine_infinity_bases_and_reuse():
     assert bases.run([0] * n) is None
 
 
-def _pass_stack_case(pallas: bool):
-    """Sort + halving-pass stack against exact per-bucket host sums at a
-    tiny shape (full-program compile stays in the ZK_SLOW tests; the grid
-    merge is exercised on TPU every round by the bench)."""
+def _run_inplace_stack(ops, X, YY, key, sign, n, size0, wg):
+    """Sort + the IN-PLACE halving-pass stack; returns (keys, live, x, y)
+    with `live` marking the rank-0 survivor lane of each non-empty
+    bucket."""
+    import numpy as np
+
+    from crypto3_zk_tpu.ops import msm_affine as MA
+
+    keys, perm = MA._bitonic_sort(key)
+    rank = MA._ranks(keys)
+    x = MA._take(X, perm % n)
+    y = MA._take(YY, (perm % n) + n * sign[perm])
+    dead = keys == MA._DEAD
+    for j in range(max((size0 // max(wg, 1) - 1).bit_length(), 1)):
+        x, y, dead = MA._inplace_pass(ops, x, y, dead, keys, rank, j,
+                                      size0)
+    live = np.asarray((rank == 0) & ~dead)
+    return np.asarray(keys), live, x, y
+
+
+def _check_bucket_sums(fs, decode, keys_np, live, x, y, sums):
+    """Every live rank-0 lane must hold its bucket's exact host sum;
+    cancelled buckets must have NO live lane."""
+    xd, yd = decode(x), decode(y)
+    seen = {}
+    for i in range(len(keys_np)):
+        if not live[i]:
+            continue
+        kk = int(keys_np[i])
+        assert kk != 0x7FFFFFFF
+        assert kk not in seen
+        seen[kk] = (xd[i], yd[i])
+    for kk, pt in sums.items():
+        if pt is None:
+            assert kk not in seen
+        else:
+            assert seen.get(kk) == pt, f"bucket {kk:x} wrong"
+    for kk in seen:
+        assert sums.get(kk) is not None
+
+
+def test_msm_affine_pass_stack_exact():
+    """Sort + in-place halving-pass stack against exact per-bucket host
+    sums at a tiny shape (full-program compile stays in the ZK_SLOW tests;
+    the grid merge is exercised on TPU every round by the bench)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -93,22 +134,8 @@ def _pass_stack_case(pallas: bool):
     key = jnp.where(bucket == 0, MA._DEAD,
                     (wloc << 16) | bucket).reshape(size0)
     sign = (sw < 0).astype(jnp.int32).reshape(size0)
-    keys, perm = MA._bitonic_sort(key)
-    state = (MA._take(X, perm % n),
-             MA._take(YY, (perm % n) + n * sign[perm]), keys)
-    old = os.environ.get("ZK_TPU_PALLAS_MSM")
-    os.environ["ZK_TPU_PALLAS_MSM"] = "1" if pallas else "0"
-    try:
-        for _ in range(max((size0 // max(wg, 1) - 1).bit_length(), 1)):
-            state = MA._one_pass(ops, state, size0, size0)
-    finally:
-        if old is None:
-            os.environ.pop("ZK_TPU_PALLAS_MSM", None)
-        else:
-            os.environ["ZK_TPU_PALLAS_MSM"] = old
-    x, y, k = state
-    k_np = np.asarray(k)
-    xd, yd = L.decode(fs, x), L.decode(fs, y)
+    keys_np, live, x, y = _run_inplace_stack(ops, X, YY, key, sign, n,
+                                             size0, wg)
 
     sums = {}
     for w in range(wg):
@@ -119,28 +146,8 @@ def _pass_stack_case(pallas: bool):
             pt = pts[j] if d > 0 else (pts[j][0], (-pts[j][1]) % fs.p)
             kk = (w << 16) | abs(d)
             sums[kk] = CV.g1_add(CURVE, sums.get(kk), pt)
-    seen = {}
-    for i in range(len(k_np)):
-        kk = int(k_np[i])
-        if kk == MA._DEAD:
-            continue
-        assert kk not in seen
-        seen[kk] = (xd[i], yd[i])
-    for kk, pt in sums.items():
-        if pt is None:
-            assert kk not in seen
-        else:
-            assert seen.get(kk) == pt, f"bucket {kk:x} wrong"
-    for kk in seen:
-        assert sums.get(kk) is not None
-
-
-def test_msm_affine_pass_stack_exact():
-    _pass_stack_case(pallas=False)
-
-
-def test_msm_affine_pass_stack_exact_pallas_interpret():
-    _pass_stack_case(pallas=True)
+    _check_bucket_sums(fs, lambda a: L.decode(fs, a), keys_np, live, x, y,
+                       sums)
 
 
 def test_msm_affine_g2_pass_stack_exact():
@@ -179,14 +186,8 @@ def test_msm_affine_g2_pass_stack_exact():
     key = jnp.where(bucket == 0, MA._DEAD,
                     (wloc << 16) | bucket).reshape(size0)
     sign = (sw < 0).astype(jnp.int32).reshape(size0)
-    keys, perm = MA._bitonic_sort(key)
-    state = (MA._take(X, perm % n),
-             MA._take(YY, (perm % n) + n * sign[perm]), keys)
-    for _ in range(max((size0 // max(wg, 1) - 1).bit_length(), 1)):
-        state = MA._one_pass(ops, state, size0, size0)
-    x, y, k = state
-    k_np = np.asarray(k)
-    xd, yd = ops.decode(x), ops.decode(y)
+    keys_np, live, x, y = _run_inplace_stack(ops, X, YY, key, sign, n,
+                                             size0, wg)
 
     sums = {}
     for w in range(wg):
@@ -198,20 +199,7 @@ def test_msm_affine_g2_pass_stack_exact():
                 pts[j][0], ((-pts[j][1][0]) % fs.p, (-pts[j][1][1]) % fs.p))
             kk = (w << 16) | abs(d)
             sums[kk] = CV.g2_add(curve, sums.get(kk), pt)
-    seen = {}
-    for i in range(len(k_np)):
-        kk = int(k_np[i])
-        if kk == MA._DEAD:
-            continue
-        assert kk not in seen
-        seen[kk] = (xd[i], yd[i])
-    for kk, pt in sums.items():
-        if pt is None:
-            assert kk not in seen
-        else:
-            assert seen.get(kk) == pt, f"G2 bucket {kk:x} wrong"
-    for kk in seen:
-        assert sums.get(kk) is not None
+    _check_bucket_sums(fs, ops.decode, keys_np, live, x, y, sums)
 
 
 @slow
@@ -254,23 +242,26 @@ def test_pallas_inv_scans_interpret():
     xr = L.encode(fs, vals).reshape(fs.nl, C, K)
     one_m = L.ones_mont(fs, (1,))
     f, g, tot = PM.inv_scans_pallas(fs, xr, one_m, interpret=True)
+    # f, g come back in the kernel's (K, NL, C) layout (scan axis leading
+    # — Mosaic's tiled-dim alignment rule); tot is (NL, C)
     for c in range(C):
         acc = 1
         for k in range(K):
-            assert L.decode(fs, f[:, c, k:k + 1])[0] == acc
+            assert L.decode(fs, f[k, :, c:c + 1])[0] == acc
             acc = acc * vals[c * K + k] % p
         assert L.decode(fs, tot[:, c:c + 1])[0] == acc
         acc = 1
         for k in range(K - 1, -1, -1):
-            assert L.decode(fs, g[:, c, k:k + 1])[0] == acc
+            assert L.decode(fs, g[k, :, c:c + 1])[0] == acc
             acc = acc * vals[c * K + k] % p
     # mul3: f * g * bcast(tot) elementwise (all Montgomery-form: the
-    # decoded result is just the product of the decoded operands)
+    # decoded result is just the product of the decoded operands);
+    # output back in (NL, C, K)
     out = PM.mul3_bcast_pallas(fs, f, g, tot, interpret=True)
     for c in range(0, C, 3):
         for k in range(0, K, 5):
-            want = (L.decode(fs, f[:, c, k:k+1])[0]
-                    * L.decode(fs, g[:, c, k:k+1])[0]
+            want = (L.decode(fs, f[k, :, c:c+1])[0]
+                    * L.decode(fs, g[k, :, c:c+1])[0]
                     * L.decode(fs, tot[:, c:c+1])[0]) % p
             assert L.decode(fs, out[:, c, k:k+1])[0] == want
 
