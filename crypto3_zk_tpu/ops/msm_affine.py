@@ -346,6 +346,42 @@ def _inplace_pass(ops, x, y, dead, bucket, rank, j, size: int):
     return new_x, new_y, new_dead
 
 
+def _compact(x, y, dead, keys, out_size: int):
+    """Compact live lanes to `out_size` lanes (static), preserving sorted
+    bucket order; returns fresh (x, y, dead, keys, rank). Dead lanes drop,
+    pad lanes are _DEAD. Runs BETWEEN pass segments: after j in-place
+    passes a bucket of multiplicity m holds <= ceil(m/2^j) live lanes, so
+    the total live count is provably <= ceil(size/2^j) + #occupied-buckets
+    and the remaining passes can run at that fraction of the width (the
+    in-place pass pays full-width field muls for dead lanes otherwise).
+    Costs one int32 iota-scatter + coordinate gathers — worth it once the
+    width drops 2x, not every pass (the round-2/3 every-pass compaction
+    was ~400 ms of each 745 ms pass)."""
+    in_size = keys.shape[0]
+    idx = jnp.arange(in_size, dtype=I32)
+    alive = ~dead
+    pos_incl = jnp.cumsum(alive.astype(I32))
+    pos = jnp.where(alive, pos_incl - 1, out_size)
+    sel = jnp.full((out_size + 1,), in_size, I32).at[pos].set(idx)
+    sel = sel[:out_size]
+
+    def pad1(a):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, 1)])
+
+    nx = _take(_tmap(pad1, x), sel)
+    ny = _take(_tmap(pad1, y), sel)
+    nkeys = jnp.pad(keys, (0, 1), constant_values=_DEAD)[sel]
+    return nx, ny, nkeys == _DEAD, nkeys, _ranks(nkeys)
+
+
+def _seg_width(size0: int, b_bound: int, j: int) -> int:
+    """Provable live-lane bound after min(k*, j) in-place passes, rounded
+    up to a multiple of 256: if k* >= j, live <= ceil(size0/2^j) + B; if
+    k* < j every bucket is already fully reduced, live <= B <= this."""
+    t = -(-size0 >> j) + b_bound
+    return min(size0, -(-t // 256) * 256)
+
+
 def _signed_digits_np(nl: int, limbs):
     """Host mirror of `_signed_digits` (numpy): (NL, N) uint32 16-bit limbs
     -> (NL, N) int32 signed digits. Used to compute the TRUE per-group pass
@@ -594,18 +630,44 @@ def _msm_affine_program(ops, coords, scalar_limbs, k_stars):
         ys = _take(YY, pid + n * sign[perm])
         rank = _ranks(keys)                             # computed ONCE
         dead0 = keys == _DEAD
-        x, y, dead = jax.lax.fori_loop(
-            0, k_star,
-            lambda j, st: _inplace_pass(ops, st[0], st[1], st[2],
-                                        keys, rank, j, size0),
-            (xs, ys, dead0))
+
+        def run_passes(st, ks, rk, n_passes, width):
+            return jax.lax.fori_loop(
+                0, n_passes,
+                lambda j, s: _inplace_pass(ops, s[0], s[1], s[2],
+                                           ks, rk, j, width), st)
+
+        # segmented schedule: 2 full-width passes, compact to the provable
+        # live bound, 2 more, compact again, rest — uniform scalars pay
+        # ~2.9 size0-widths of pass work instead of k* (7-9) of them
+        b_bound = min(wg << 15, size0)
+        t1 = _seg_width(size0, b_bound, 2)
+        t2 = _seg_width(size0, b_bound, 4)
+        st = (xs, ys, dead0)
+        if t1 > size0 // 2:                             # compaction not worth it
+            x, y, dead = run_passes(st, keys, rank, k_star, size0)
+            fkeys, frank = keys, rank
+        else:
+            st = run_passes(st, keys, rank, jnp.minimum(k_star, 2), size0)
+            st = _compact(st[0], st[1], st[2], keys, t1)
+            x, y, dead, fkeys, frank = st
+            if t2 <= t1 // 2:
+                st = run_passes((x, y, dead), fkeys, frank,
+                                jnp.clip(k_star - 2, 0, 2), t1)
+                st = _compact(st[0], st[1], st[2], fkeys, t2)
+                x, y, dead, fkeys, frank = st
+                x, y, dead = run_passes((x, y, dead), fkeys, frank,
+                                        jnp.maximum(k_star - 4, 0), t2)
+            else:
+                x, y, dead = run_passes((x, y, dead), fkeys, frank,
+                                        jnp.maximum(k_star - 2, 0), t1)
 
         # dense (window, hi, lo) grid scatter: after k* passes each bucket's
         # total sits at its rank-0 lane; key -> w*GRID + hi*256 + lo
-        live = (rank == 0) & ~dead
-        bkt = keys & 0xFFFF
+        live = (frank == 0) & ~dead
+        bkt = fkeys & 0xFFFF
         tgt = jnp.where(live,
-                        (keys >> 16) * _GRID + (bkt >> 8) * _GRID_LO
+                        (fkeys >> 16) * _GRID + (bkt >> 8) * _GRID_LO
                         + (bkt & 0xFF),
                         wg * _GRID)
 

@@ -59,10 +59,12 @@ def test_msm_affine_infinity_bases_and_reuse():
     assert bases.run([0] * n) is None
 
 
-def _run_inplace_stack(ops, X, YY, key, sign, n, size0, wg):
+def _run_inplace_stack(ops, X, YY, key, sign, n, size0, wg,
+                       compact_after=None):
     """Sort + the IN-PLACE halving-pass stack; returns (keys, live, x, y)
     with `live` marking the rank-0 survivor lane of each non-empty
-    bucket."""
+    bucket. `compact_after=(j, out_size)` exercises the mid-schedule
+    `_compact` + restart-at-d=1 invariant of the segmented program."""
     import numpy as np
 
     from crypto3_zk_tpu.ops import msm_affine as MA
@@ -72,7 +74,17 @@ def _run_inplace_stack(ops, X, YY, key, sign, n, size0, wg):
     x = MA._take(X, perm % n)
     y = MA._take(YY, (perm % n) + n * sign[perm])
     dead = keys == MA._DEAD
-    for j in range(max((size0 // max(wg, 1) - 1).bit_length(), 1)):
+    total = max((size0 // max(wg, 1) - 1).bit_length(), 1)
+    done = 0
+    if compact_after is not None:
+        seg1, out_size = compact_after
+        for j in range(seg1):
+            x, y, dead = MA._inplace_pass(ops, x, y, dead, keys, rank, j,
+                                          size0)
+        x, y, dead, keys, rank = MA._compact(x, y, dead, keys, out_size)
+        size0 = out_size
+        done = seg1
+    for j in range(max(total - done, 1)):
         x, y, dead = MA._inplace_pass(ops, x, y, dead, keys, rank, j,
                                       size0)
     live = np.asarray((rank == 0) & ~dead)
@@ -100,7 +112,7 @@ def _check_bucket_sums(fs, decode, keys_np, live, x, y, sums):
         assert sums.get(kk) is not None
 
 
-def test_msm_affine_pass_stack_exact():
+def _pass_stack_g1(compact_after=None):
     """Sort + in-place halving-pass stack against exact per-bucket host
     sums at a tiny shape (full-program compile stays in the ZK_SLOW tests;
     the grid merge is exercised on TPU every round by the bench)."""
@@ -135,7 +147,8 @@ def test_msm_affine_pass_stack_exact():
                     (wloc << 16) | bucket).reshape(size0)
     sign = (sw < 0).astype(jnp.int32).reshape(size0)
     keys_np, live, x, y = _run_inplace_stack(ops, X, YY, key, sign, n,
-                                             size0, wg)
+                                             size0, wg,
+                                             compact_after=compact_after)
 
     sums = {}
     for w in range(wg):
@@ -148,6 +161,18 @@ def test_msm_affine_pass_stack_exact():
             sums[kk] = CV.g1_add(CURVE, sums.get(kk), pt)
     _check_bucket_sums(fs, lambda a: L.decode(fs, a), keys_np, live, x, y,
                        sums)
+
+
+def test_msm_affine_pass_stack_exact():
+    _pass_stack_g1()
+
+
+def test_msm_affine_pass_stack_with_compaction():
+    """Two full-width passes, `_compact` to the provable live bound, then
+    the remaining passes at the compacted width — the segmented schedule
+    of `_msm_affine_program` (live <= ceil(size/4) + #buckets after two
+    passes; buckets here <= 2*9 signed digit values per window)."""
+    _pass_stack_g1(compact_after=(2, 64))
 
 
 def test_msm_affine_g2_pass_stack_exact():

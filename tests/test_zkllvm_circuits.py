@@ -10,6 +10,7 @@ validation of the format — then (b) run the full Placeholder/LPC
 preprocess→prove→verify on the real 56-column 512-row circuit, including
 a mutated-witness rejection.
 """
+import copy
 import os
 import random
 
@@ -104,7 +105,10 @@ def test_merkle_tree_poseidon_prove_verify():
     scheme = LPCScheme(fri_params)
     pub = PP.process_public(params, cs, t.assignment, t.desc, scheme)
     priv = PP.process_private(params, cs, t.assignment, t.desc)
-    proof = prove(params, pub, priv, t.desc, cs, scheme)
+    # prove consumes the scheme; each prove gets a copy of the PREPROCESSED
+    # scheme (it carries the FIXED_VALUES batch committed by process_public
+    # — a fresh LPCScheme has no batch 0 and the prover rejects it)
+    proof = prove(params, pub, priv, t.desc, cs, copy.deepcopy(scheme))
     assert verify(params, pub.common_data, proof, t.desc, cs,
                   LPCScheme(fri_params), public_input=t.public_input)
 
@@ -122,6 +126,6 @@ def test_merkle_tree_poseidon_prove_verify():
                       t.assignment.selectors),
         t.desc)
     proof_bad = prove(params, pub, priv_bad, t.desc, cs,
-                      LPCScheme(fri_params))
+                      copy.deepcopy(scheme))
     assert not verify(params, pub.common_data, proof_bad, t.desc, cs,
                       LPCScheme(fri_params), public_input=t.public_input)
