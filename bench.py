@@ -53,13 +53,17 @@ BASELINES = {
     "zkllvm": ("placeholder_prove_zkllvm_merkle_poseidon_s", "s", 1.0),
 }
 
-# fast + most-important first, so a driver timeout mid-run still leaves the
-# headline metrics (VERDICT.md round-2 next-step #1) in the partial file
-PLAN = ["ntt20", "msm20", "groth16", "placeholder", "zkllvm", "msm22",
+# END-TO-END PROVER METRICS FIRST (VERDICT.md round-4 next-step #1: four
+# rounds of kernel-first ordering starved groth16/placeholder/zkllvm out of
+# every driver run). Their cold cost is bounded by a persisted CRS
+# (`_CRS_DIR`) + the pre-warmed /tmp compile cache; per-stage notes land in
+# the partial file even if the metric itself times out.
+PLAN = ["groth16", "placeholder", "zkllvm", "ntt20", "msm20", "msm22",
         "ntt24", "msm_g2", "ntt26"]
 
 PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_partial.jsonl")
+_CRS_DIR = "/tmp/zk_tpu_bench_state"
 
 
 def emit(key, value):
@@ -70,6 +74,22 @@ def emit(key, value):
     line = {"metric": name, "value": round(value, 6), "unit": unit,
             "vs_baseline": round(ratio, 4)}
     print(json.dumps(line), flush=True)
+
+
+def note(key, stage, seconds):
+    """Per-stage evidence (keygen s / compile-prove s / steady prove s):
+    a `#` comment on stdout (NOT a metric line — must not win the headline)
+    plus a direct append to the partial file, so even a timed-out metric
+    leaves its completed stages on record."""
+    print(f"# {key} {stage} {seconds:.1f}s", flush=True)
+    try:
+        with open(PARTIAL_PATH, "a") as f:
+            f.write(json.dumps(
+                {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                 "stage": f"{key}.{stage}", "seconds": round(seconds, 2)})
+                + "\n")
+    except OSError:
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +198,7 @@ def bench_msm_g2(log_n, key, reps):
 
 
 def bench_groth16():
+    import pickle
     import random
     from crypto3_zk_tpu.arithmetization import r1cs as R
     from crypto3_zk_tpu.fields import curves as CV
@@ -198,16 +219,41 @@ def bench_groth16():
     for _ in range(ncons):
         v = v * x % p
         aux.append(v)
-    kp = G16.generate(curve, cs, rng=random.Random(11))
+    # deterministic CRS (fixed rng) persisted across rounds: keygen is a
+    # one-time setup in the reference's perf model too (docs/perf.md times
+    # the prover), and regenerating it each driver run starved every
+    # round-1..4 bench of the prove number (BENCH_r04 rc=124)
+    crs_path = os.path.join(_CRS_DIR, "crs_g16_alt_bn128_2e16_v1.pkl")
+    kp = None
+    if os.path.exists(crs_path):
+        try:
+            with open(crs_path, "rb") as f:
+                kp = pickle.load(f)
+        except Exception:
+            kp = None
+    if kp is None:
+        t0 = time.time()
+        kp = G16.generate(curve, cs, rng=random.Random(11))
+        note("groth16", "keygen", time.time() - t0)
+        os.makedirs(_CRS_DIR, exist_ok=True)
+        tmp = crs_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(kp, f, protocol=4)
+        os.replace(tmp, crs_path)
     rng = random.Random(12)
+    t0 = time.time()
     prf = G16.prove(kp.pk, [x], aux, rng=rng)   # compile + cache bases
+    note("groth16", "prove_compile", time.time() - t0)
     assert G16.verify(kp.vk, [x], prf), "Groth16 bench proof REJECTED"
     reps = 2
     t0 = time.time()
     for _ in range(reps):
         prf = G16.prove(kp.pk, [x], aux, rng=rng)
     dt = (time.time() - t0) / reps
+    note("groth16", "prove_steady", dt)
+    t0 = time.time()
     assert G16.verify(kp.vk, [x], prf)
+    note("groth16", "verify", time.time() - t0)
     emit("groth16", 1 / dt)
 
 
@@ -267,17 +313,24 @@ def bench_placeholder():
         fs, degree_log=desc.rows_amount.bit_length() - 1, expand_factor=2,
         lambda_=40, merkle_hash="poseidon")
     scheme = LPCScheme(fri_params)
+    t0 = time.time()
     pub = PP.process_public(params, cs, assignment, desc, scheme)
     priv = PP.process_private(params, cs, assignment, desc)
+    note("placeholder", "preprocess", time.time() - t0)
+    t0 = time.time()
     proof = prove(params, pub, priv, desc, cs,
                   copy.deepcopy(scheme))            # compile pass
+    note("placeholder", "prove_compile", time.time() - t0)
     reps = 2
     t0 = time.time()
     for _ in range(reps):
         proof = prove(params, pub, priv, desc, cs, copy.deepcopy(scheme))
     dt = (time.time() - t0) / reps
+    note("placeholder", "prove_steady", dt)
+    t0 = time.time()
     ok = verify(params, pub.common_data, proof, desc, cs,
                 LPCScheme(fri_params), public_input=public_input)
+    note("placeholder", "verify", time.time() - t0)
     assert ok, "Placeholder bench proof REJECTED"
     emit("placeholder", dt)
 
@@ -308,17 +361,24 @@ def bench_zkllvm():
         fs, degree_log=t.desc.rows_amount.bit_length() - 1, expand_factor=2,
         lambda_=40, merkle_hash="poseidon")
     scheme = LPCScheme(fri_params)
+    t0 = time.time()
     pub = PP.process_public(params, cs, t.assignment, t.desc, scheme)
     priv = PP.process_private(params, cs, t.assignment, t.desc)
+    note("zkllvm", "preprocess", time.time() - t0)
+    t0 = time.time()
     proof = prove(params, pub, priv, t.desc, cs,
                   copy.deepcopy(scheme))            # compile pass
+    note("zkllvm", "prove_compile", time.time() - t0)
     reps = 2
     t0 = time.time()
     for _ in range(reps):
         proof = prove(params, pub, priv, t.desc, cs, copy.deepcopy(scheme))
     dt = (time.time() - t0) / reps
+    note("zkllvm", "prove_steady", dt)
+    t0 = time.time()
     ok = verify(params, pub.common_data, proof, t.desc, cs,
                 LPCScheme(fri_params), public_input=t.public_input)
+    note("zkllvm", "verify", time.time() - t0)
     assert ok, "zkLLVM bench proof REJECTED"
     emit("zkllvm", dt)
 
@@ -352,31 +412,62 @@ _BACKEND_ERRS = ("Unable to initialize backend", "UNAVAILABLE",
                  "DEADLINE_EXCEEDED", "failed to connect")
 
 
+_ACTIVE_CHILD = None
+
+
+def _kill_active_child(signum=None, frame=None):
+    """The driver runs `python bench.py` under an outer `timeout`; its
+    SIGTERM reaches only the orchestrator, and an orphaned --metric child
+    kept compiling through the tunnel for 30+ minutes after the round-4
+    bench died (observed 2026-08-20). Forward termination to the child's
+    process group, then exit."""
+    global _ACTIVE_CHILD
+    if _ACTIVE_CHILD is not None and _ACTIVE_CHILD.poll() is None:
+        try:
+            os.killpg(_ACTIVE_CHILD.pid, 15)
+        except (OSError, ProcessLookupError):
+            _ACTIVE_CHILD.kill()
+    if signum is not None:
+        sys.exit(128 + signum)
+
+
 def _run_child(key, timeout_s):
-    """Run one metric in a subprocess.
-    Returns (json_lines, err_text, timed_out)."""
+    """Run one metric in a subprocess (its own process group so cleanup
+    can kill the whole tree). Returns (json_lines, err_text, timed_out)."""
+    global _ACTIVE_CHILD
     cmd = [sys.executable, os.path.abspath(__file__), "--metric", key]
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True,
+                         start_new_session=True)
+    _ACTIVE_CHILD = p
     try:
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout_s)
-    except subprocess.TimeoutExpired as e:
-        return [], f"timeout after {timeout_s}s: " + (
-            (e.stderr or b"").decode(errors="replace")
-            if isinstance(e.stderr, bytes) else (e.stderr or ""))[-400:], \
-            True
+        out, errs = p.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _kill_active_child()
+        try:
+            out, errs = p.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, errs = "", ""
+        return [], f"timeout after {timeout_s}s: " + (errs or "")[-400:], True
+    finally:
+        _ACTIVE_CHILD = None
     lines = []
-    for ln in r.stdout.splitlines():
+    for ln in (out or "").splitlines():
         ln = ln.strip()
         if ln.startswith("{"):
             try:
                 lines.append(json.loads(ln))
             except ValueError:
                 pass
-    err = "" if lines else (r.stderr or "")[-800:]
+    err = "" if lines else (errs or "")[-800:]
     return lines, err, False
 
 
 def main():
+    import signal
+    signal.signal(signal.SIGTERM, _kill_active_child)
+    signal.signal(signal.SIGINT, _kill_active_child)
     only = os.environ.get("ZK_BENCH_ONLY", "")
     if only:
         req = {k for k in only.split(",") if k}

@@ -243,6 +243,18 @@ def _leaf_order_indices(domain_size: int, fri_step: int):
 def precommit(polys: list[PolyDFS], D: Domain, fri_step: int,
               params: FRIParams) -> Precommitment:
     fs = params.fs
+    # under an active `parallel.context.mesh_context`, shard the leaf
+    # hashing over the mesh (bit-identical result; `parallel/fri.py`)
+    from ..parallel.context import get_mesh
+    ctx = get_mesh()
+    if ctx is not None:
+        mesh, axis = ctx
+        hasher = make_hasher(fs, params.merkle_hash)
+        n_leaves = (D.n >> fri_step) if fri_step else D.n
+        if hasher.kind == "field" and n_leaves % mesh.shape[axis] == 0:
+            from ..parallel.fri import distributed_precommit
+            return distributed_precommit(polys, D, fri_step, params,
+                                         mesh, axis)
     polys = [pl.resize(D.n) for pl in polys]
     values = jnp.stack([pl.v for pl in polys], axis=0)  # (B, NL, N)
     idx = _leaf_order_indices(D.n, fri_step)            # (leafs, coset)
@@ -373,11 +385,20 @@ def proof_eval(g: dict[int, list[PolyDFS]], combined_Q: PolyDFS,
     need0 = sorted({j for cs in cosets0 for pair in cs for j in pair})
     vals0: dict[int, list[dict[int, int]]] = {}
     if need0:
+        from ..parallel.context import get_mesh
+        ctx = get_mesh()
         idx0 = jnp.asarray(need0, dtype=jnp.int32)
         for k, polys in g.items():
             pre = precommitments[k]
-            got = jnp.transpose(jnp.take(pre.values, idx0, axis=-1),
-                                (1, 0, 2))            # (NL, B, K)
+            if ctx is not None and pre.values.shape[-1] \
+                    % ctx[0].shape[ctx[1]] == 0:
+                # serve from leaf-range-sharded tables over the mesh
+                from ..parallel.fri import distributed_query_gather
+                taken = distributed_query_gather(pre.values, need0,
+                                                 ctx[0], ctx[1])
+            else:
+                taken = jnp.take(pre.values, idx0, axis=-1)
+            got = jnp.transpose(taken, (1, 0, 2))     # (NL, B, K)
             flat = L.decode(fs, got)                  # row-major over (B, K)
             K = len(need0)
             vals0[k] = [dict(zip(need0, flat[pi * K:(pi + 1) * K]))

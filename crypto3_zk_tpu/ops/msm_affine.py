@@ -53,9 +53,9 @@ from . import limbs as L
 
 I32 = jnp.int32
 _DEAD = 0x7FFFFFFF      # sorts after every live (window, bucket) key
-_GRID_LO = 256          # j = 256*hi + lo bucket-merge split
-_GRID_HI = 129          # buckets 0..2^15 -> hi in 0..128
-_GRID = _GRID_LO * _GRID_HI
+_GRID_LO = 256          # bucket-1 = 256*hi + lo dense-grid split
+_GRID_HI = 128          # buckets 1..2^15 -> (bkt-1)>>8 in 0..127
+_WGRID = _GRID_LO * _GRID_HI        # 2^15 slots per window, slot = bkt-1
 _INV_CHUNK = 64         # sequential-chunk width of the batched inversion
 
 
@@ -423,135 +423,103 @@ def _pass_counts(sdig, g_cnt: int, wg: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# bucket-grid merge: sum_j j*B_j with j = 256*hi + lo
+# bucket-grid merge: sum_b b*B_b with b-1 = 256*hi + lo
 # ---------------------------------------------------------------------------
 
-def _tree_reduce_axis(ops, G, axis_len: int, axis: int):
+def _jac_reduce_axis(ops, P, axis_len: int, axis: int):
     """In-place binary tree reduction along NEGATIVE `axis` (static length)
-    of the (..., hi, lo) affine grid (leading dims are batch — e.g. the
-    window axis); lane 0 of the axis ends up holding the total. fori with
-    dynamic roll distance: one combine in the graph."""
+    of a Jacobian point array (z = 0 marks infinity; leading dims are batch
+    — e.g. the window axis); lane 0 of the axis ends up holding the total.
+    fori with dynamic roll distance: ONE `jac_add` in the compiled graph —
+    no batched inversion, so no sequential chunk-scan latency per level
+    (the round-4 affine `_tree_reduce_axis` paid a 64-step lax.scan inverse
+    at every level: ~57 ms/level, 915 ms per merged group on v5e)."""
     assert axis < 0
-    x, y, inf = G
+    x, y, z = P
     nlog = max((axis_len - 1).bit_length(), 1)
     idx_shape = [1] * (-axis)
     idx_shape[axis] = axis_len
     idx = jnp.arange(axis_len).reshape(idx_shape)
 
     def body(k, st):
-        cx, cy, cinf = st
+        cx, cy, cz = st
         d = jnp.left_shift(jnp.int32(1), k)
         px = _roll(cx, -d, axis=axis)       # trailing dims align right, so
         py = _roll(cy, -d, axis=axis)       # the same negative axis works
-        pinf = jnp.roll(cinf, -d, axis=axis)   # for (NL, ...) coords too
-        active = ((idx % jnp.left_shift(jnp.int32(2), k)) == 0) \
+        pz = _roll(cz, -d, axis=axis)       # for (NL, ...) coords too
+        leader = ((idx % jnp.left_shift(jnp.int32(2), k)) == 0) \
             & (idx + d < axis_len)
-        active = jnp.broadcast_to(active, cinf.shape)
-        A = (cx, cy, cinf)
-        B = (px, py, pinf | ~active)        # inactive partner = infinity
-        den, aux = _pair_denominator(ops, A, B)
-        size = 1
-        for s in cinf.shape:
-            size *= s
-        nb = len(cinf.shape)
+        lead_b = jnp.broadcast_to(leader, _shape_of(ops, cx))
+        pz = ops.select(lead_b, pz, ops.zeros(_shape_of(ops, cx)))
+        rx, ry, rz = CRV.jac_add(ops, (cx, cy, cz), (px, py, pz))
+        # non-leader lanes must KEEP their value: they are partners read by
+        # later levels
+        return (ops.select(lead_b, rx, cx), ops.select(lead_b, ry, cy),
+                ops.select(lead_b, rz, cz))
 
-        def flat(a):
-            return a.reshape(a.shape[:-nb] + (size,))
-
-        inv_den = _batch_inverse_chunked(ops, _tmap(flat, den), size)
-        inv_den = _tmap(lambda a: a.reshape(a.shape[:-1] + cinf.shape),
-                        inv_den)
-        rx, ry, rinf = _pair_combine(ops, A, B, inv_den, aux)
-        keep = jnp.broadcast_to((idx % jnp.left_shift(jnp.int32(2), k)) == 0,
-                                cinf.shape)
-        return (ops.select(keep, rx, cx), ops.select(keep, ry, cy),
-                jnp.where(keep, rinf, cinf))
-
-    return jax.lax.fori_loop(0, nlog, body, (x, y, inf))
+    return jax.lax.fori_loop(0, nlog, body, (x, y, z))
 
 
-def _jacobianize(ops, x, y, inf):
-    z = ops.select(inf, ops.zeros(_shape_of(ops, x)),
-                   ops.ones(_shape_of(ops, x)))
-    return (x, y, z)
+def _take0(P, axis: int):
+    def t(a):
+        sl = [slice(None)] * a.ndim
+        sl[axis + (a.ndim if axis < 0 else 0)] = 0
+        return a[tuple(sl)]
+    return _tmap(t, P[0]), _tmap(t, P[1]), _tmap(t, P[2])
+
+
+def _jac_weighted_sum(ops, P, weights, nbits: int):
+    """Σ_i w_i·P_i along the LAST axis (static int `weights`): per-lane
+    double-and-add ladder (nbits steps, one jac_double + jac_add body)
+    followed by one `_jac_reduce_axis`. Replaces the round-3/4 sequential
+    Jacobian weighted scans — the merge's measured latency sink."""
+    x, y, z = P
+    n = len(weights)
+    wb = jnp.asarray(np.asarray(weights, np.int32))
+    shape = _shape_of(ops, x)
+    acc = CRV.inf_point(ops, shape)
+
+    def body(b, acc):
+        acc2 = CRV.jac_double(ops, acc)
+        bit = ((wb >> (nbits - 1 - b)) & 1) == 1
+        bit = jnp.broadcast_to(bit, shape)
+        pz = ops.select(bit, z, ops.zeros(shape))
+        return CRV.jac_add(ops, acc2, (x, y, pz))
+
+    acc = jax.lax.fori_loop(0, nbits, body, acc)
+    return _take0(_jac_reduce_axis(ops, acc, n, -1), -1)
 
 
 def _grid_merge(ops, G):
     """(…, wg, GRID_HI, GRID_LO) affine grid + inf flags -> per-window
-    Jacobian total sum_j j·B_j (j = 256·hi + lo), with a COMPILE-LIGHT
-    3-stage pipeline (the round-3 design ran two `_tree_reduce_axis`
-    instances plus two suffix-scan weighted reduces — ~700 s of XLA:TPU
-    compile by themselves, the dominant term of the program's ~30 min
-    compile):
+    Jacobian total Σ_b b·B_b, where slot (hi, lo) holds bucket
+    b = 256·hi + lo + 1. Decomposition:
 
-    1. ONE batched tree-reduce computes both marginals: the lo-major grid
-       and the (transposed, padded) hi-major grid stack along the row axis
-       so C_hi = Σ_lo B[hi,·] and D_lo = Σ_hi B[·,lo] come out of a single
-       256-lane reduction.
-    2. ONE bit-mask weighted tree-reduce: Σ_j j·B_j = Σ_b 2^b·S_b with
-       S_b = Σ_{j: bit b} B_j — 16 masked copies of the marginals (hi bits
-       7..0 weight 2^{8+b}, lo bits 7..0 weight 2^b) reduce in one batched
-       256-lane tree.
-    3. A 16-step Horner scan (acc = 2·acc + S_k over descending weights)
-       yields the window total."""
+        Σ_b b·B_b = 256·Σ_hi hi·C_hi + Σ_lo (lo+1)·D_lo
+
+    with C_hi = Σ_lo B[hi,·] and D_lo = Σ_hi B[·,lo] the grid marginals.
+    The marginals are plain log-depth Jacobian tree reductions over the
+    full grid (8 + 7 levels); the weighted sums then run on the TINY
+    129/256-lane marginals via `_jac_weighted_sum` ladders. Everything is
+    jac_add-based — no batched inversions, so each level is one fused
+    elementwise kernel instead of a 64-step scan, and the whole merge is
+    3 small fori_loop bodies to compile (the round-4 stack2/expand/Horner
+    pipeline was the program's dominant compile term)."""
     gx, gy, ginf = G
-    HI, LO = _GRID_HI, _GRID_LO
-    pad_n = LO - HI
+    shape = _shape_of(ops, gx)
+    z = ops.select(ginf, ops.zeros(shape), ops.ones(shape))
+    P = (gx, gy, z)
 
-    def stack2(a, pad_inf=False):
-        # (..., HI, LO) -> (..., HI+LO, LO): rows 0..HI-1 = lo-major rows,
-        # rows HI.. = transposed hi-major rows (padded; pads are infinity)
-        at = jnp.swapaxes(a, -1, -2)
-        at = jnp.pad(at, [(0, 0)] * (a.ndim - 1) + [(0, pad_n)],
-                     constant_values=pad_inf)
-        return jnp.concatenate([a, at], axis=-2)
+    C = _take0(_jac_reduce_axis(ops, P, _GRID_LO, -1), -1)   # (..., wg, HI)
+    D = _take0(_jac_reduce_axis(ops, P, _GRID_HI, -2), -2)   # (..., wg, LO)
+    SC = _jac_weighted_sum(ops, C, np.arange(_GRID_HI), 7)   # Σ hi·C_hi
+    SD = _jac_weighted_sum(ops, D, np.arange(1, _GRID_LO + 1), 9)
 
-    sx = _tmap(stack2, gx)
-    sy = _tmap(stack2, gy)
-    sinf = stack2(ginf, pad_inf=True)
-    cx, cy, cinf = _tree_reduce_axis(ops, (sx, sy, sinf), LO, -1)
-    rx = _tmap(lambda a: a[..., 0], cx)          # (..., HI+LO) marginals
-    ry = _tmap(lambda a: a[..., 0], cy)
-    rinf = cinf[..., 0]
+    def dbl8(_, q):
+        return CRV.jac_double(ops, q)
 
-    # 16 masked copies: group g<8 = hi bit (7-g) over C rows (pad to LO);
-    # g>=8 = lo bit (15-g) over D rows — descending weight order for Horner
-    hi_idx = np.arange(LO)                       # C padded to LO rows
-    lo_idx = np.arange(LO)
-    masks = np.stack(
-        [((hi_idx >> b) & 1) == 1 for b in range(7, -1, -1)]
-        + [((lo_idx >> b) & 1) == 1 for b in range(7, -1, -1)])  # (16, LO)
-    masks = jnp.asarray(masks)
-
-    def expand(a, fill=None):
-        # rows: C part padded to LO, D part; -> (..., 2, LO) -> broadcast
-        # each to 8 masked copies -> (..., 16, LO)
-        c = a[..., :HI]
-        c = jnp.pad(c, [(0, 0)] * (a.ndim - 1) + [(0, pad_n)],
-                    constant_values=fill if fill is not None else 0)
-        d = a[..., HI:]
-        both = jnp.stack([c, d], axis=-2)        # (..., 2, LO)
-        reps = jnp.repeat(both, 8, axis=-2)      # (..., 16, LO)
-        return reps
-
-    px = _tmap(expand, rx)
-    py = _tmap(expand, ry)
-    pinf = expand(rinf, fill=True) | ~masks
-    sx2, sy2, sinf2 = _tree_reduce_axis(ops, (px, py, pinf), LO, -1)
-    S = _jacobianize(ops, _tmap(lambda a: a[..., 0], sx2),
-                     _tmap(lambda a: a[..., 0], sy2), sinf2[..., 0])
-
-    # Horner over the 16 bit-levels: acc = 2*acc + S_k.
-    # S coords: (NL, ..., 16); move the 16-axis first for lax.scan
-    xs = tuple(_tmap(lambda a: jnp.moveaxis(a, -1, 0), c) for c in S)
-    acc0 = tuple(_tmap(lambda a: a[0] * 0, c) for c in xs)  # infinity (z=0)
-
-    def horner(acc, s_k):
-        acc2 = CRV.jac_double(ops, acc)
-        return CRV.jac_add(ops, acc2, s_k), None
-
-    acc, _ = jax.lax.scan(horner, acc0, xs)
-    return acc                                   # (NL, ...) Jacobian coords
+    SC = jax.lax.fori_loop(0, 8, dbl8, SC)                   # ×256
+    return CRV.jac_add(ops, SC, SD)                # (NL, ..., wg) Jacobian
 
 
 # ---------------------------------------------------------------------------
@@ -663,25 +631,24 @@ def _msm_affine_program(ops, coords, scalar_limbs, k_stars):
                                         jnp.maximum(k_star - 2, 0), t1)
 
         # dense (window, hi, lo) grid scatter: after k* passes each bucket's
-        # total sits at its rank-0 lane; key -> w*GRID + hi*256 + lo
+        # total sits at its rank-0 lane; bucket b in 1..2^15 -> slot
+        # w*2^15 + (b-1), i.e. hi = (b-1)>>8, lo = (b-1)&0xFF
         live = (frank == 0) & ~dead
         bkt = fkeys & 0xFFFF
-        tgt = jnp.where(live,
-                        (fkeys >> 16) * _GRID + (bkt >> 8) * _GRID_LO
-                        + (bkt & 0xFF),
-                        wg * _GRID)
+        tgt = jnp.where(live, (fkeys >> 16) * _WGRID + (bkt - 1),
+                        wg * _WGRID)
 
         def grid_like(a):
-            return jnp.zeros(a.shape[:-1] + (wg * _GRID + 1,), a.dtype)
+            return jnp.zeros(a.shape[:-1] + (wg * _WGRID + 1,), a.dtype)
 
         def grid_shape(a):
-            return a[..., :wg * _GRID].reshape(
+            return a[..., :wg * _WGRID].reshape(
                 a.shape[:-1] + (wg, _GRID_HI, _GRID_LO))
 
         gx = _tmap(grid_shape, _scatter_last(_tmap(grid_like, x), tgt, x))
         gy = _tmap(grid_shape, _scatter_last(_tmap(grid_like, y), tgt, y))
         # a grid cell is infinity unless a live lane lands on it
-        ginf = grid_shape(jnp.ones((wg * _GRID + 1,), bool)
+        ginf = grid_shape(jnp.ones((wg * _WGRID + 1,), bool)
                           .at[tgt].set(~live))
         return carry, (gx, gy, ginf)
 
