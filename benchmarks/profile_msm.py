@@ -12,7 +12,11 @@ regenerated from this output (VERDICT r4 next-step #2).
 """
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

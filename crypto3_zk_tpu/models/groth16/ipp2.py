@@ -95,13 +95,24 @@ class Ipp2Transcript:
         self._h.update(len(b).to_bytes(8, "little") + b)
 
     def read_challenge(self) -> int:
-        p = self.curve.fr.p
+        fr = self.curve.fr
+        p = fr.p
+        # `field_element_from_bytes` MASKS the 256-bit digest down to
+        # modulus_bits (255) before its < r validity check — recovered by
+        # solving the bellperson gipa etalons for the challenge semantics
+        # (tests/test_ipp2_conformance.py; an unmasked reject-if->=r
+        # variant agrees on digests whose top bit is clear — all the
+        # round-4 single-value pins — but diverges otherwise). Retries
+        # keep hashing counter bytes into ONE forked accumulator
+        # (`transcript.hpp:121-135`: `hasher_state` lives outside the
+        # retry loop).
+        mask = (1 << fr.bits) - 1
+        h2 = self._h.copy()
         counter = 0
         while True:
             counter += 1
-            h2 = self._h.copy()
             h2.update(counter.to_bytes(8, "big"))
-            v = int.from_bytes(h2.digest(), "little")
+            v = int.from_bytes(h2.digest(), "little") & mask
             if v >= p or v in (0, 1):
                 continue
             return v
@@ -164,13 +175,18 @@ class VerifierSRS:
 
 
 def setup_fake_srs(curve: CV.CurveSpec, num_proofs: int,
-                   rng: random.Random | None = None):
+                   rng: random.Random | None = None,
+                   toxic: tuple[int, int] | None = None):
     """Generic SRS from two toxic scalars (`srs.hpp:148-151`) specialized
-    for num_proofs (`srs.hpp:158-205`)."""
+    for num_proofs (`srs.hpp:158-205`). `toxic` pins (alpha, beta) for the
+    bellperson conformance vectors (`..._conformity.cpp:1892-1897`)."""
     rng = rng if rng is not None else random.SystemRandom()
     p = curve.fr.p
-    alpha = rng.randrange(2, p)
-    beta = rng.randrange(2, p)
+    if toxic is not None:
+        alpha, beta = toxic
+    else:
+        alpha = rng.randrange(2, p)
+        beta = rng.randrange(2, p)
     tn = 2 * num_proofs
 
     def powers1(s):
