@@ -140,7 +140,8 @@ def generate(curve: CV.CurveSpec, cs: R1CSConstraintSystem,
 
 
 def _msm_skip_inf(curve, bases, scalars, group="g1", use_device=True,
-                  bases_cache: dict | None = None, cache_key=None):
+                  bases_cache: dict | None = None, cache_key=None,
+                  pad_to: int = 0):
     """MSM tolerating infinity bases / zero scalars. Device path: the
     batched-affine one-program MSM (`ops/msm_affine.py`), with the encoded
     bases cached per proving-key query vector so repeated proofs reuse the
@@ -155,7 +156,7 @@ def _msm_skip_inf(curve, bases, scalars, group="g1", use_device=True,
         if bases_cache is not None and cache_key in bases_cache:
             mb = bases_cache[cache_key]
         else:
-            mb = MSMBases(curve, bases, group)
+            mb = MSMBases(curve, bases, group, pad_to=pad_to)
             if bases_cache is not None:
                 bases_cache[cache_key] = mb
         return mb.run(list(scalars))
@@ -191,18 +192,25 @@ def prove(pk: ProvingKey, primary: list[int], aux: list[int],
     if cache is None:
         cache = {}
         object.__setattr__(pk, "_msm_bases", cache)
+    # pad every G1 query to the longest one: A/B1/H/L then share a single
+    # compiled program shape instead of one multi-minute XLA compile per
+    # distinct power-of-two length (reference runs them through one
+    # multiexp template too, prover.hpp (gg):108-139)
+    g1_pad = max(len(pk.A_query), len(pk.B_query_g1), len(pk.H_query),
+                 len(pk.L_query))
     eval_At = _msm_skip_inf(curve, pk.A_query, assignment,
-                            bases_cache=cache, cache_key="A")
+                            bases_cache=cache, cache_key="A", pad_to=g1_pad)
     eval_Bt_g1 = _msm_skip_inf(curve, pk.B_query_g1, assignment,
-                               bases_cache=cache, cache_key="B1")
+                               bases_cache=cache, cache_key="B1",
+                               pad_to=g1_pad)
     eval_Bt_g2 = _msm_skip_inf(curve, pk.B_query_g2, assignment, group="g2",
                                bases_cache=cache, cache_key="B2")
     eval_Ht = _msm_skip_inf(curve, pk.H_query,
                             qap_wit.coefficients_for_H[: qap_wit.degree - 1],
-                            bases_cache=cache, cache_key="H")
+                            bases_cache=cache, cache_key="H", pad_to=g1_pad)
     eval_Lt = _msm_skip_inf(curve, pk.L_query,
                             assignment[qap_wit.num_inputs + 1:],
-                            bases_cache=cache, cache_key="L")
+                            bases_cache=cache, cache_key="L", pad_to=g1_pad)
 
     add, mul = (lambda a, b: CV.g1_add(curve, a, b)), \
         (lambda a, k: CV.g1_mul(curve, a, k))

@@ -674,13 +674,20 @@ class MSMBases:
     keys issue many MSMs over the same query vectors; re-encoding and
     re-uploading 10^6 points per proof would dominate wall-clock)."""
 
-    def __init__(self, curve, points_affine, group: str = "g1"):
+    def __init__(self, curve, points_affine, group: str = "g1",
+                 pad_to: int = 0):
+        """`pad_to`: raise the padded lane count so DIFFERENT query vectors
+        share ONE compiled program shape (a Groth16 prove issues G1 MSMs of
+        2-3 distinct lengths; padding all of them to the longest one costs
+        dead zero-scalar lanes but saves a multi-minute XLA compile per
+        extra shape)."""
         self.curve = curve
         self.group = group
         self.n = len(points_affine)
         fsq = curve.fq
         self.ops = CRV.FqOps(fsq) if group == "g1" else CRV.Fq2Ops(fsq)
-        n2 = max(512, 1 << (self.n - 1).bit_length() if self.n > 1 else 1)
+        n_eff = max(self.n, pad_to)
+        n2 = max(512, 1 << (n_eff - 1).bit_length() if n_eff > 1 else 1)
         # infinity bases (e.g. [0]G entries of a Groth16 A_query) carry no
         # contribution: stand in any finite point and force their scalars
         # to zero at run() time — zero scalars land in the DEAD bucket.

@@ -9,6 +9,7 @@ always-on pass-stack tests below pin the sort + halving machinery against
 exact host bucket sums for the XLA and Pallas-interpret paths; the TPU
 bench exercises the full program every round.
 """
+import contextlib
 import os
 import random
 
@@ -245,6 +246,87 @@ def test_msm_affine_g2_full_program():
     tot = sum(s * (i + 1) for i, s in enumerate(sc)
               if pts[i] is not None) % curve.fr.p
     assert bases.run(sc) == CV.g2_mul(curve, curve.g2, tot)
+
+
+@contextlib.contextmanager
+def _tiny_grid(monkeypatch_cap="1024"):
+    """Shrink the bucket grid 128x256 -> 1x256 so the COMPOSED
+    `_msm_affine_program` (sort + segmented halving passes + compaction +
+    grid scatter + merge) runs in CI time on XLA:CPU. Valid whenever every
+    signed scalar digit fits 8 bits: slot (b-1) < 256, the hi marginal is
+    empty, and total = SD exactly as at full size. Restores the module
+    globals and drops the traced programs afterward (the jit cache key
+    does not see module globals)."""
+    from crypto3_zk_tpu.ops import msm_affine as MA
+
+    old = (MA._GRID_HI, MA._WGRID, os.environ.get("ZK_TPU_MSM_LANES_CAP"))
+    MA._GRID_HI, MA._WGRID = 1, MA._GRID_LO
+    os.environ["ZK_TPU_MSM_LANES_CAP"] = monkeypatch_cap
+    MA._msm_affine_program.clear_cache()
+    try:
+        yield MA
+    finally:
+        MA._GRID_HI, MA._WGRID = old[0], old[1]
+        if old[2] is None:
+            os.environ.pop("ZK_TPU_MSM_LANES_CAP", None)
+        else:
+            os.environ["ZK_TPU_MSM_LANES_CAP"] = old[2]
+        MA._msm_affine_program.clear_cache()
+
+
+def _limb8_scalars(fr, n, r):
+    """Scalars whose 16-bit limbs are all <= 255: signed-digit recode is
+    the identity, so every bucket index fits the shrunk grid."""
+    return [sum(r.randrange(256) << (16 * w) for w in range(fr.nl))
+            for _ in range(n)]
+
+
+def test_msm_one_program_tiny_grid_g1():
+    """ALWAYS-ON oracle of the composed one-program MSM (VERDICT r4 #6b:
+    the full-size program was only exercised by the TPU bench + ZK_SLOW).
+    2^7 points, 8-bit digits, wg=8 groups of 2 — same code path as the
+    2^20 bench program, 256x less merge work."""
+    with _tiny_grid("1024") as MA:
+        r = random.Random(0x51)
+        n = 128
+        base, acc = [], None
+        for _ in range(32):
+            acc = CV.g1_add(CURVE, acc, CURVE.g1)
+            base.append(acc)
+        sel = [r.randrange(32) for _ in range(n)]
+        pts = [base[j] for j in sel]
+        pts[9] = None
+        sc = _limb8_scalars(CURVE.fr, n, r)
+        sc[0], sc[1] = 0, 1
+        tot = sum(s * (j + 1) for i, (j, s) in enumerate(zip(sel, sc))
+                  if i != 9) % CURVE.fr.p
+        exp = CV.g1_mul(CURVE, CURVE.g1, tot)
+        bases = MA.MSMBases(CURVE, pts)
+        assert bases.run(sc) == exp
+        # second run reuses the compiled program + device tables
+        sc2 = _limb8_scalars(CURVE.fr, n, r)
+        tot2 = sum(s * (j + 1) for i, (j, s) in enumerate(zip(sel, sc2))
+                   if i != 9) % CURVE.fr.p
+        assert bases.run(sc2) == CV.g1_mul(CURVE, CURVE.g1, tot2)
+
+
+def test_msm_one_program_tiny_grid_g2():
+    """Same composed-program oracle for the Fq2 (G2) instantiation."""
+    with _tiny_grid("512") as MA:
+        curve = CV.BLS12_381
+        r = random.Random(0x52)
+        n = 64
+        base, acc = [], None
+        for _ in range(16):
+            acc = CV.g2_add(curve, acc, curve.g2)
+            base.append(acc)
+        sel = [r.randrange(16) for _ in range(n)]
+        pts = [base[j] for j in sel]
+        sc = _limb8_scalars(curve.fr, n, r)
+        sc[0] = 0
+        tot = sum(s * (j + 1) for j, s in zip(sel, sc)) % curve.fr.p
+        bases = MA.MSMBases(curve, pts, group="g2")
+        assert bases.run(sc) == CV.g2_mul(curve, curve.g2, tot)
 
 
 def test_pallas_inv_scans_interpret():
