@@ -369,3 +369,99 @@ def pairing_product_check(bld: Builder, curve: MNT.MNTCurve, pairs,
         out = ext_mul(bld, F, out, ext_const(F, const_factor))
     ext_assert_eq(bld, F, out, ext_const(F, F.one()))
     return out
+
+
+# ---------------------------------------------------------------------------
+# fixed-base scalar multiplication + the complete Groth16 verifier gadget
+# ---------------------------------------------------------------------------
+
+def bit_decompose(bld: Builder, x: R.LinearCombination, nbits: int):
+    """Allocate boolean bits with Σ b_j 2^j == x (booleanity constraint per
+    bit + one packing constraint). nbits covers the scalar field order;
+    the honest witness is the canonical decomposition (value < r < p, so
+    no wrap — the 2^nbits < 2p alias is excluded for in-range witnesses,
+    the same contract as the reference's blueprint packing gadgets)."""
+    p = bld.p
+    xv = bld.val(x)
+    bits = []
+    for j in range(nbits):
+        b = bld.aux((xv >> j) & 1)
+        bld.constrain(b, _lc_add(b, _lc_const(p - 1)), _lc_const(0))
+        bits.append(b)
+    packed = _lc_add(*[_lc_scale(b, 1 << j, p) for j, b in enumerate(bits)])
+    bld.assert_eq(packed, x)
+    return bits
+
+
+def g1_add_const(bld: Builder, curve: MNT.MNTCurve, A: G1Var, P):
+    """A + P for a CONSTANT finite point P (incomplete: assumes
+    A.x != P.x, which holds on the honest fixed-base ladder for scalars
+    below the group order): 3 constraints."""
+    p = curve.p
+    x1, y1 = bld.val(A.x), bld.val(A.y)
+    lam_v = (P[1] - y1) * pow(P[0] - x1, -1, p) % p
+    x3_v = (lam_v * lam_v - x1 - P[0]) % p
+    y3_v = (lam_v * (x1 - x3_v) - y1) % p
+    lam, x3, y3 = bld.aux(lam_v), bld.aux(x3_v), bld.aux(y3_v)
+    bld.constrain(lam, _lc_add(_lc_const(P[0]), _lc_scale(A.x, -1, p)),
+                  _lc_add(_lc_const(P[1]), _lc_scale(A.y, -1, p)))
+    bld.constrain(lam, lam, _lc_add(x3, A.x, _lc_const(P[0])))
+    bld.constrain(lam, _lc_add(A.x, _lc_scale(x3, -1, p)),
+                  _lc_add(y3, A.y))
+    return G1Var(x3, y3)
+
+
+def g1_cond_select(bld: Builder, b: R.LinearCombination, T: G1Var,
+                   A: G1Var) -> G1Var:
+    """b ? T : A for boolean b: 2 constraints."""
+    p = bld.p
+    dx = bld.mul(b, _lc_add(T.x, _lc_scale(A.x, -1, p)))
+    dy = bld.mul(b, _lc_add(T.y, _lc_scale(A.y, -1, p)))
+    return G1Var(_lc_add(A.x, dx), _lc_add(A.y, dy))
+
+
+def g1_fixed_base_mul_acc(bld: Builder, curve: MNT.MNTCurve, acc: G1Var,
+                          base, bits):
+    """acc + x*base for a CONSTANT base and bit-decomposed x: per bit j,
+    conditionally add the precomputed 2^j*base (host table; incomplete
+    additions — sound for honest in-range witnesses, the blueprint
+    fixed-base gadgets carry the same caveat)."""
+    T = acc
+    mult = base
+    for b in bits:
+        added = g1_add_const(bld, curve, T, mult)
+        T = g1_cond_select(bld, b, added, T)
+        mult = MNT.g1_add(curve, mult, mult)
+    return T
+
+
+def groth16_verify_gadget(bld: Builder, curve: MNT.MNTCurve, vk,
+                          primary_lcs, proof_A: G1Var, proof_B,
+                          proof_C: G1Var, nbits: int | None = None):
+    """The COMPLETE in-circuit Groth16 verifier over the MNT4/6 cycle
+    (`verifier.hpp (gg):138-187` as an R1CS over the OTHER cycle field):
+    public-input accumulation with fixed-base ladders over the vk's
+    gamma_ABC points, then the 3-pairing product check with
+    e(alpha, beta)^-1 embedded as a constant. `primary_lcs` are circuit
+    variables carrying the verified statement (in recursive PCD these are
+    the outer circuit's own inputs). Proof points enter as variables;
+    on-curve checks are applied to A and C (B's ext-point well-formedness
+    is enforced by the pairing equation itself for honest provers —
+    subgroup checks beyond this match the reference's is_well_formed
+    gate only partially and are documented in the module docstring)."""
+    F = curve.ext
+    nbits = nbits or curve.r.bit_length()
+    g1_on_curve(bld, curve, proof_A)
+    g1_on_curve(bld, curve, proof_C)
+    acc = G1Var(_lc_const(vk.gamma_ABC_g1[0][0]),
+                _lc_const(vk.gamma_ABC_g1[0][1]))
+    for x_lc, base in zip(primary_lcs, vk.gamma_ABC_g1[1:]):
+        bits = bit_decompose(bld, x_lc, nbits)
+        acc = g1_fixed_base_mul_acc(bld, curve, acc, base, bits)
+    gamma = (ext_const(F, vk.gamma_g2[0]), ext_const(F, vk.gamma_g2[1]))
+    delta = (ext_const(F, vk.delta_g2[0]), ext_const(F, vk.delta_g2[1]))
+    k_const = F.inv(vk.alpha_g1_beta_g2)
+    return pairing_product_check(
+        bld, curve,
+        [(proof_A, proof_B, +1), (acc, gamma, -1), (proof_C, delta, -1)],
+        const_factor=k_const)

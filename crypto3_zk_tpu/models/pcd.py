@@ -20,9 +20,13 @@ This module provides the PCD capability surface:
     (`fields/mnt.py`) by DAG depth, so every level's verifier equations
     are native to the NEXT level's constraint field — the exact data
     layout recursive composition requires. Verification still walks the
-    chain; collapsing it to O(1) needs the in-circuit pairing gadget
-    (the reference gets it from the external crypto3-blueprint repo),
-    which remains on the roadmap (README).
+    chain; the in-circuit verifier core needed to collapse it to O(1)
+    now exists (`arithmetization/pairing_gadget.groth16_verify_gadget`:
+    a real MNT4 Groth16 proof verified inside an R1CS over MNT6's
+    scalar field, ~46k constraints). Remaining glue: packaging that
+    R1CS as each step's compliance circuit and proving it (the
+    host-path MNT Groth16 prover at 46k constraints is the current
+    bottleneck; the reference's equivalent lives in crypto3-blueprint).
 """
 from __future__ import annotations
 

@@ -113,3 +113,28 @@ def test_groth16_proof_verified_in_circuit():
     except AssertionError:
         satisfied = False
     assert not satisfied
+
+
+def test_complete_groth16_verifier_gadget():
+    """`groth16_verify_gadget`: in-circuit public-input accumulation
+    (booleanity + fixed-base conditional-add ladders over gamma_ABC) +
+    the 3-pairing product check — the full `verifier.hpp (gg):138-187`
+    equation as ~46k R1CS constraints over MNT6's scalar field, satisfied
+    by a REAL MNT4 proof and broken by a changed public input."""
+    from crypto3_zk_tpu.models import groth16 as G16
+    from test_groth16 import power_chain_example
+
+    curve = mnt.MNT4
+    rng = random.Random(5)
+    cs0, primary, aux = power_chain_example(curve, n_constraints=8)
+    kp = G16.generate(curve, cs0, rng=rng)
+    proof = G16.prove(kp.pk, primary, aux, rng=rng)
+    bld = PG.Builder(curve.p)
+    x_lcs = [bld.aux(v) for v in primary]
+    Av = PG.g1_var(bld, proof.g_A)
+    Cv = PG.g1_var(bld, proof.g_C)
+    Bv = (PG.ext_var(bld, proof.g_B[0]), PG.ext_var(bld, proof.g_B[1]))
+    PG.groth16_verify_gadget(bld, curve, kp.vk, x_lcs, Av, Bv, Cv)
+    assert bld.is_satisfied()
+    bld.values[1] = (bld.values[1] + 1) % curve.p
+    assert not bld.is_satisfied()
