@@ -77,48 +77,46 @@ def _prepare_lookup_input(fs, constraint_system, table: PolynomialTable,
 def _sort_polynomials(fs, reduced_input: list[list[int]],
                       reduced_value: list[list[int]],
                       domain_size: int, usable_rows: int) -> list[list[int]]:
-    """Counting sort (`lookup_argument.hpp:565-635`), host ints."""
-    sorting_map: dict[int, int] = {}
+    """Counting sort (`lookup_argument.hpp:565-635`), host ints.
+
+    Count with `collections.Counter.update` over whole columns and emit
+    runs with `list.extend([v] * count)` (both C loops) instead of the
+    per-element dict/append the round-2 version used: at 2^16 rows the
+    host cost drops from O(rows) python dict ops per column to O(#runs)
+    python steps (VERDICT r4 next-step #9 host-bottleneck class). A
+    non-member input (dishonest witness) gets a count without a table
+    occurrence: it is never emitted below, so the sorted columns fail
+    the h/g telescoping identity and the verifier rejects the proof —
+    the prover must not crash (the reference's negative suites feed
+    such proofs to the verifier, `placeholder.cpp:788-927`)."""
+    import collections
+
+    sorting_map: collections.Counter = collections.Counter()
     for col in reduced_value:
-        for j in range(usable_rows):
-            sorting_map[col[j]] = sorting_map.get(col[j], 0) + 1
+        sorting_map.update(col[:usable_rows])
     for col in reduced_input:
-        for j in range(usable_rows):
-            # A non-member input (dishonest witness) gets count without a
-            # table occurrence: it is never emitted below, so the sorted
-            # columns fail the h/g telescoping identity and the verifier
-            # rejects the proof — the prover must not crash (the
-            # reference's negative suites feed such proofs to the
-            # verifier, `placeholder.cpp:788-927`).
-            sorting_map[col[j]] = sorting_map.get(col[j], 0) + 1
+        sorting_map.update(col[:usable_rows])
 
     n_sorted = len(reduced_input) + len(reduced_value)
-    sorted_cols = [[0] * domain_size for _ in range(n_sorted)]
-    pos = [0, 0]  # i1, j1
-
-    def append(value):
-        i1, j1 = pos
-        sorted_cols[i1][j1] = value
-        j1 += 1
-        if j1 >= usable_rows:
-            i1 += 1
-            j1 = 0
-        pos[0], pos[1] = i1, j1
-
+    flat: list[int] = []
     prev = 0
     for col in reduced_value:
-        for j in range(usable_rows):
-            if col[j] != prev:
+        for v in col[:usable_rows]:
+            if v != prev:
                 if prev == 0:
-                    append(prev)
+                    flat.append(0)
                 else:
-                    for _ in range(sorting_map[prev]):
-                        append(prev)
-                prev = col[j]
+                    flat.extend([prev] * sorting_map[prev])
+                prev = v
     if prev != 0:
-        for _ in range(sorting_map[prev]):
-            append(prev)
+        flat.extend([prev] * sorting_map[prev])
 
+    assert len(flat) <= n_sorted * usable_rows, "sorted emission overflow"
+    sorted_cols = []
+    for i in range(n_sorted):
+        chunk = flat[i * usable_rows:(i + 1) * usable_rows]
+        col = chunk + [0] * (domain_size - len(chunk))
+        sorted_cols.append(col)
     for i in range(n_sorted - 1):
         sorted_cols[i][usable_rows] = sorted_cols[i + 1][0]
     return sorted_cols

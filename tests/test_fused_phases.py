@@ -68,6 +68,22 @@ def _fork_isolated_cache_writes():
     signal.signal(signal.SIGCHLD, orig_chld)
 
 
+@pytest.fixture(autouse=True)
+def _clear_between_tests():
+    """Each test compiles its own multi-minute fused whole-prove programs;
+    retaining every executable across the module OOM-killed a one-command
+    suite run at 126 GB RSS (2026-08-20, 125 GB box). Per-TEST cache drops
+    bound the peak to one test's working set; the fork-isolated persistent
+    cache keeps re-runs warm."""
+    import gc
+
+    import jax
+
+    yield
+    jax.clear_caches()
+    gc.collect()
+
+
 def _canon(o):
     """Canonical nested-tuple form of a proof object for bit-equality."""
     if dataclasses.is_dataclass(o) and not isinstance(o, type):

@@ -310,8 +310,13 @@ def test_msm_one_program_tiny_grid_g1():
         assert bases.run(sc2) == CV.g1_mul(CURVE, CURVE.g1, tot2)
 
 
+@slow
 def test_msm_one_program_tiny_grid_g2():
-    """Same composed-program oracle for the Fq2 (G2) instantiation."""
+    """Same composed-program oracle for the Fq2 (G2) instantiation.
+    ZK_SLOW: the Fq2 program's XLA:CPU compile peaks >36 GB RSS (measured
+    2026-08-20) — stacked on the one-command suite's working set it
+    OOM-killed a 125 GB box. G1 stays always-on; the composed G2 path is
+    covered by the TPU bench's msm_g2 metric and this gated test."""
     with _tiny_grid("512") as MA:
         curve = CV.BLS12_381
         r = random.Random(0x52)
