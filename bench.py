@@ -295,6 +295,15 @@ def _bench_circuit(fs, usable_rows: int, rng):
 def bench_placeholder():
     import copy
     import random
+
+    # Eager per-op phases: the FUSED whole-phase programs exceed this
+    # environment's remote-compile ceiling (~75 min/request — observed
+    # 2026-08-20: zkllvm's fused prove died twice with remote_compile
+    # EOF/500 at ~45-75 min; the 2^21-lane MSM compiled in 74 min). The
+    # eager path compiles many small programs instead, each well under
+    # the ceiling and individually cached; steady-state pays tunnel
+    # dispatch latency, which the metric line reports honestly.
+    os.environ["ZK_TPU_FUSED_PHASES"] = "0"
     from crypto3_zk_tpu.commitments import fri as FRIC
     from crypto3_zk_tpu.commitments.lpc import LPCScheme
     from crypto3_zk_tpu.fields import params as P
@@ -339,6 +348,8 @@ def bench_zkllvm():
     """Prove the REAL reference circuit dump (zkLLVM merkle_tree_poseidon,
     `test/systems/plonk/placeholder/data/merkle_tree_poseidon/`)."""
     import copy
+
+    os.environ["ZK_TPU_FUSED_PHASES"] = "0"   # see bench_placeholder
     from crypto3_zk_tpu.commitments import fri as FRIC
     from crypto3_zk_tpu.commitments.lpc import LPCScheme
     from crypto3_zk_tpu.fields import params as P
