@@ -200,6 +200,11 @@ def bench_msm_g2(log_n, key, reps):
 def bench_groth16():
     import pickle
     import random
+
+    # scan-MSM G2 fallback: the Fq2 one-program affine MSM exceeds the
+    # remote-compile ceiling (three failed attempts 2026-08-20); the
+    # windowed segmented-scan G2 program compiles well under it
+    os.environ["ZK_TPU_G2_MSM"] = "scan"
     from crypto3_zk_tpu.arithmetization import r1cs as R
     from crypto3_zk_tpu.fields import curves as CV
     from crypto3_zk_tpu.models import groth16 as G16

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import dataclasses
+import os
 import random
 
 from ...arithmetization import qap as QAP
@@ -151,6 +152,19 @@ def _msm_skip_inf(curve, bases, scalars, group="g1", use_device=True,
     p = curve.fr.p
     if isinstance(curve, MNT.MNTCurve):
         use_device = False        # MNT (a != 0) runs on the host scalar layer
+    if (group == "g2" and len(bases) >= 512
+            and os.environ.get("ZK_TPU_G2_MSM") == "scan"):
+        # Fallback G2 path: the Fq2 one-program batched-affine MSM is the
+        # largest program in the framework and exceeds this environment's
+        # remote-compile ceiling (~75 min/request, DESIGN.md §6b); the
+        # windowed segmented-scan MSM compiles a much smaller program at
+        # a slower steady-state. Opt-in via ZK_TPU_G2_MSM=scan (bench).
+        pairs = [(b, s % p) for b, s in zip(bases, scalars)
+                 if b is not None and s % p != 0]
+        if not pairs:
+            return None
+        return msm(curve, [b for b, _ in pairs], [s for _, s in pairs],
+                   c=8, group="g2")
     if use_device and len(bases) >= 512:
         from ...ops.msm_affine import MSMBases
         if bases_cache is not None and cache_key in bases_cache:
